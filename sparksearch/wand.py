@@ -1,0 +1,252 @@
+"""Block-max WAND document-at-a-time top-k over the compressed index.
+
+The reference evaluates queries TAAT-exhaustively (hw3/DataLoader.cpp:372-430)
+with chunk skipping only in the conjunctive probe (hw3/DataLoader.cpp:793-864
+via per-chunk last_docID).  The north_star mandates DAAT block-max WAND using
+the per-block max-score metadata we added at index time (codec.py).
+
+Execution shape: the per-query evaluation is a grouped vectorized pandas UDF —
+``blocks ⨝ broadcast(query terms) → groupBy(query_id) → applyInPandas(WAND)``.
+All blocks of one query's terms are co-located by the single groupBy shuffle;
+block payloads decode lazily inside the evaluator, so WAND's block skipping
+(`last_doc_id < pivot` → never decode) translates directly into skipped Arrow
+bytes.  The bounded top-k heap is the reference's findTopKscores heap
+(hw3/DataLoader.cpp:636-671) with the tie-break pinned to
+(score desc, doc_id asc).
+
+Upper bounds with the reference's UNCLAMPED idf (negative for df > N/2):
+contribution = weight * idf * tf_norm, so the per-block bound is
+``weight * (idf * max_tf_norm  if idf >= 0 else  idf * min_tf_norm)``.
+
+Rank-identity argument for pruning at the θ boundary: docs are visited in
+ascending doc_id, so equal-score ties already in the heap are the smaller
+doc_ids; pruning when Σ bounds <= θ only drops docs that could at best tie,
+and ties lose to incumbents — exactly the oracle's (score desc, doc_id asc)
+order.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codec import decode_block, tf_norm
+from .constants import CONJUNCTIVE, TOP_K
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class TermCursor:
+    """Lazy cursor over one term's block sequence (ascending doc_id)."""
+
+    __slots__ = ("weight", "idf", "block_last", "block_bound", "blocks", "bi", "pi",
+                 "_docs", "_tfs", "_dls", "avg_dl", "exhausted")
+
+    def __init__(self, term_blocks: pd.DataFrame, weight: float, idf: float, avg_dl: float):
+        tb = term_blocks.sort_values(["bucket", "block_id"])
+        self.blocks = list(tb.itertuples(index=False))
+        self.block_last = np.array([b.last_doc_ids[-1] for b in self.blocks], np.int64)
+        bounds = np.where(
+            idf >= 0,
+            idf * tb["max_tf_norm"].to_numpy(),
+            idf * tb["min_tf_norm"].to_numpy(),
+        )
+        self.block_bound = weight * bounds
+        self.weight = weight
+        self.idf = idf
+        self.avg_dl = avg_dl
+        self.bi = -1
+        self.pi = 0
+        self._docs = None
+        self.exhausted = False
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        if bi >= len(self.blocks):
+            self.exhausted = True
+            return
+        b = self.blocks[bi]
+        docs, tfs, dls = decode_block(
+            bytes(b.payload), np.asarray(b.docid_sizes), np.asarray(b.tf_sizes), np.asarray(b.dl_sizes)
+        )
+        self.bi = bi
+        self.pi = 0
+        self._docs = docs
+        self._tfs = tfs
+        self._dls = dls
+
+    def doc(self) -> int:
+        return int(self._docs[self.pi])
+
+    def upper_bound(self) -> float:
+        """Bound for the REMAINING blocks (current onward)."""
+        return float(self.block_bound[self.bi :].max())
+
+    def next_geq(self, target: int) -> None:
+        """Advance to first posting with doc_id >= target, skipping whole
+        blocks via last_doc_id metadata (never decoding skipped payloads)."""
+        if self.exhausted:
+            return
+        if self.block_last[self.bi] < target:
+            nbi = int(np.searchsorted(self.block_last, target, side="left"))
+            if nbi >= len(self.blocks):
+                self.exhausted = True
+                return
+            self._load(nbi)
+        self.pi = int(np.searchsorted(self._docs[self.pi :], target) + self.pi)
+        while self.pi >= len(self._docs):
+            if self.bi + 1 >= len(self.blocks):
+                self.exhausted = True
+                return
+            self._load(self.bi + 1)
+            self.pi = int(np.searchsorted(self._docs, target))
+
+    def advance(self) -> None:
+        self.pi += 1
+        if self.pi >= len(self._docs):
+            if self.bi + 1 >= len(self.blocks):
+                self.exhausted = True
+            else:
+                self._load(self.bi + 1)
+
+    def score_current(self) -> float:
+        tf = float(self._tfs[self.pi])
+        dl = float(self._dls[self.pi])
+        return self.weight * self.idf * float(
+            tf_norm(np.array([tf]), np.array([dl]), self.avg_dl)[0]
+        )
+
+
+class _TopK:
+    """Bounded heap, tie-break (score desc, doc_id asc) — the distributed twin
+    of hw3/DataLoader.cpp:636-671 with ties pinned."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta(self) -> float:
+        return self.heap[0][0] if len(self.heap) >= self.k else float("-inf")
+
+    def offer(self, doc_id: int, score: float) -> None:
+        item = (score, -doc_id)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, item)
+        elif item > self.heap[0]:
+            heapq.heapreplace(self.heap, item)
+
+    def ranked(self) -> list[tuple[int, float]]:
+        return [(-nd, s) for s, nd in sorted(self.heap, key=lambda x: (-x[0], -x[1]))]
+
+
+def wand_topk_query(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    top = _TopK(k)
+    cursors = [c for c in cursors if not c.exhausted]
+    while cursors:
+        cursors.sort(key=lambda c: c.doc())
+        acc = 0.0
+        pivot_idx = -1
+        theta = top.theta()
+        for i, c in enumerate(cursors):
+            acc += c.upper_bound()
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can beat θ
+        pivot_doc = cursors[pivot_idx].doc()
+        if cursors[0].doc() == pivot_doc:
+            score = 0.0
+            for c in cursors:
+                if c.doc() == pivot_doc:
+                    score += c.score_current()
+                    c.advance()
+                elif c.doc() > pivot_doc:
+                    break
+            top.offer(pivot_doc, score)
+        else:
+            for c in cursors:
+                if c.doc() >= pivot_doc:
+                    break
+                c.next_geq(pivot_doc)
+        cursors = [c for c in cursors if not c.exhausted]
+    return top.ranked()
+
+
+def conjunctive_topk_query(cursors: list[TermCursor], n_terms: int, k: int) -> list[tuple[int, float]]:
+    """AND via min-df seed + next_geq block skipping — the distributed twin of
+    the reference's seed-hash probe with chunk skip (hw3/DataLoader.cpp:393-428,
+    773-864)."""
+    if len(cursors) < n_terms or any(c.exhausted for c in cursors):
+        return []
+    top = _TopK(k)
+    while not any(c.exhausted for c in cursors):
+        candidate = max(c.doc() for c in cursors)
+        for c in cursors:
+            c.next_geq(candidate)
+        if any(c.exhausted for c in cursors):
+            break
+        if all(c.doc() == candidate for c in cursors):
+            top.offer(candidate, sum(c.score_current() for c in cursors))
+            for c in cursors:
+                c.advance()
+    return top.ranked()
+
+
+def wand_topk(
+    blocks: DataFrame,
+    lexicon: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avg_doc_len: float,
+    k: int = TOP_K,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) over the compressed index.
+
+    One broadcast join prunes the block scan to the query terms (the Spark
+    analog of the lexicon offset lookup + mmap, hw3/DataLoader.cpp:316-365),
+    one shuffle co-locates each query's blocks, WAND runs per group.
+    """
+    q_df = qterms.join(lexicon.select("term", "df"), "term", "left").na.fill({"df": 0})
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    q_df = q_df.withColumn("idf", idf)
+    joined = blocks.join(F.broadcast(q_df), "term")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        mode = pdf["mode"].iloc[0]
+        n_terms = int(pdf["n_terms"].iloc[0])
+        cursors = []
+        for term, tb in pdf.groupby("term", sort=False):
+            cursors.append(
+                TermCursor(tb, float(tb["weight"].iloc[0]), float(tb["idf"].iloc[0]), avg_doc_len)
+            )
+        if mode == CONJUNCTIVE:
+            ranked = conjunctive_topk_query(cursors, n_terms, k)
+        else:
+            ranked = wand_topk_query(cursors, k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+                "doc_id": [d for d, _ in ranked],
+                "score": [s for _, s in ranked],
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)

@@ -1,0 +1,76 @@
+"""WAND over the compressed index must equal the exhaustive DataFrame path
+(and hence the oracle) rank-identically, for both modes."""
+
+import pytest
+
+from sparksearch.blocks import build_block_index
+from sparksearch.constants import CONJUNCTIVE, DISJUNCTIVE
+from sparksearch.corpus import documents_from_corpus, synthetic_corpus
+from sparksearch.oracle import engine as oracle
+from sparksearch.query import query_terms_df, topk
+from sparksearch.stats import collection_stats, lexicon
+from sparksearch.tokenize import postings_from_documents
+from sparksearch.wand import wand_topk
+
+QUERIES = [
+    (1, "if return", DISJUNCTIVE),
+    (2, "uniq13tok", DISJUNCTIVE),
+    (3, "uniq13tok if", CONJUNCTIVE),
+    (4, "def else while", CONJUNCTIVE),
+    (5, "for for int", DISJUNCTIVE),
+    (6, "zebraxyz", DISJUNCTIVE),
+    (7, "zebraxyz if", CONJUNCTIVE),
+    (8, "sym1 sym2 sym3 sym4 sym5", DISJUNCTIVE),
+    (9, "buffer size node", CONJUNCTIVE),
+    (10, "the int x i", DISJUNCTIVE),  # all-hot (negative idf) query
+]
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs = documents_from_corpus(synthetic_corpus(spark, 250, seed=11)).cache()
+    posts = postings_from_documents(docs).cache()
+    st = collection_stats(docs)
+    lex = lexicon(posts).cache()
+    blocks = build_block_index(posts, st["avg_doc_len"], bucket_span=40).cache()
+    blocks.count()
+    rows = docs.select("doc_id", "content").collect()
+    idx = oracle.build_index([(r["doc_id"], r["content"]) for r in rows])
+    return docs, posts, st, lex, blocks, idx
+
+
+def _collect_by_query(df):
+    by_q = {}
+    for r in df.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    return by_q
+
+
+def test_wand_matches_exhaustive_and_oracle(spark, ctx):
+    docs, posts, st, lex, blocks, idx = ctx
+    qt = query_terms_df(spark, QUERIES)
+    wand_res = _collect_by_query(wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"]))
+    exh_res = _collect_by_query(topk(posts, lex, qt, st["n_docs"], st["avg_doc_len"]))
+    for qid, text, mode in QUERIES:
+        want = oracle.topk(idx, text, mode)
+        got_w = wand_res.get(qid, [])
+        got_e = exh_res.get(qid, [])
+        assert len(got_w) == len(want) == len(got_e), (qid, len(got_w), len(want), len(got_e))
+        for gw, ge, (od, os_) in zip(got_w, got_e, want):
+            assert gw["doc_id"] == od, (qid, gw["doc_id"], od)
+            assert abs(gw["score"] - os_) < 1e-9
+            assert ge["doc_id"] == od
+
+
+def test_wand_single_bucket_layout(spark, ctx):
+    """Same results when each term is one group (exact reference geometry)."""
+    docs, posts, st, lex, _, idx = ctx
+    blocks1 = build_block_index(posts, st["avg_doc_len"])  # no bucketing
+    qt = query_terms_df(spark, QUERIES[:5])
+    res = _collect_by_query(wand_topk(blocks1, lex, qt, st["n_docs"], st["avg_doc_len"]))
+    for qid, text, mode in QUERIES[:5]:
+        want = oracle.topk(idx, text, mode)
+        got = res.get(qid, [])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
