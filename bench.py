@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): headline pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+plus derived throughput fields (docs_per_sec, queries_per_sec).
+
+Phases mirror the reference's lifecycle (SURVEY.md §3): index build
+(tokenize → postings → blocked compressed index → lexicon, persisted to
+parquet like the reference's on-disk index), then queries over the
+*persisted* index (so scan pruning on term is exercised), then the
+training-data-pipeline operators.  Scaling-efficiency evidence
+(local[8] vs local[32]) lives in bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparksearch.ann import cosine_topk, lsh_bucket_topk  # noqa: E402
+from sparksearch.blocks import build_block_index, lexicon_from_blocks  # noqa: E402
+from sparksearch.constants import CONJUNCTIVE, DISJUNCTIVE, TOP_K  # noqa: E402
+from sparksearch.corpus import documents_from_testdata  # noqa: E402
+from sparksearch.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash  # noqa: E402
+from sparksearch.analysis import text_quality  # noqa: E402
+from sparksearch.query import query_terms_df, topk  # noqa: E402
+from sparksearch.session import get_spark  # noqa: E402
+from sparksearch.stats import collection_stats, doc_table, lexicon  # noqa: E402
+from sparksearch.tokenize import postings_from_documents  # noqa: E402
+from sparksearch.wand import wand_topk  # noqa: E402
+
+BENCH_QUERIES = [
+    (1, "hash join merge", DISJUNCTIVE),
+    (2, "table scan filter", DISJUNCTIVE),
+    (3, "sort order window", DISJUNCTIVE),
+    (4, "key value row", DISJUNCTIVE),
+    (5, "spark stream batch", DISJUNCTIVE),
+    (6, "vector column agg", DISJUNCTIVE),
+    (7, "slow fast query", DISJUNCTIVE),
+    (8, "group line part", DISJUNCTIVE),
+    (11, "hash join merge", CONJUNCTIVE),
+    (12, "table scan filter", CONJUNCTIVE),
+    (13, "sort order window", CONJUNCTIVE),
+    (14, "key value row", CONJUNCTIVE),
+    (15, "spark stream batch", CONJUNCTIVE),
+    (16, "vector column agg", CONJUNCTIVE),
+    (17, "slow fast query", CONJUNCTIVE),
+    (18, "group line part", CONJUNCTIVE),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("sparksearch-bench", cores=cpus, shuffle_partitions=cpus)
+    tmp = tempfile.mkdtemp(prefix="sparksearch_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    try:
+        docs = documents_from_testdata(spark, sf_dir)
+        n_docs = docs.count()  # warm the JVM + parquet footer outside timers
+
+        # --- index build: tokenize -> postings -> blocked index + lexicon ---
+        def build():
+            st = collection_stats(docs)
+            postings = postings_from_documents(docs)
+            blocks = build_block_index(postings, st["avg_doc_len"])
+            blocks.write.mode("overwrite").parquet(f"{tmp}/postings_index")
+            lexicon(postings).write.mode("overwrite").parquet(f"{tmp}/lexicon")
+            doc_table(docs, postings).write.mode("overwrite").parquet(f"{tmp}/doc_table")
+            return st
+
+        st = timed("index_build", build)
+
+        blocks = spark.read.parquet(f"{tmp}/postings_index")
+        lex = spark.read.parquet(f"{tmp}/lexicon").select("term", "df")
+
+        # --- query phases over the persisted compressed index --------------
+        qt = query_terms_df(spark, BENCH_QUERIES)
+        timed(
+            "wand_topk_all",
+            lambda: wand_topk(
+                blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K
+            ).count(),
+        )
+
+        # exhaustive (uncompressed) path for comparison
+        postings = postings_from_documents(docs)
+        timed(
+            "exhaustive_topk_all",
+            lambda: topk(postings, lex, qt, st["n_docs"], st["avg_doc_len"]).count(),
+        )
+
+        # --- training-data pipeline operators ------------------------------
+        timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
+        timed(
+            "dedup_ngram_jaccard",
+            lambda: ngram_jaccard_pairs(docs, threshold=0.2).count(),
+        )
+        timed("dedup_simhash", lambda: simhash(docs).count())
+        timed("text_quality", lambda: text_quality(docs).count())
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        probes = [int(r["vec_id"]) for r in emb.select("vec_id").limit(16).collect()]
+        timed("ann_cosine_topk", lambda: cosine_topk(emb, probes, k=10).count())
+        timed(
+            "ann_lsh_topk",
+            lambda: lsh_bucket_topk(emb, probes, k=10, num_planes=6, num_tables=4).count(),
+        )
+
+        total = round(sum(timings.values()), 4)
+        n_queries = len(BENCH_QUERIES)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_query_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(n_docs / timings["index_build"], 2),
+                    "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

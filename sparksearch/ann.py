@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the training-data-pipeline brief:
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small) probe
+  set against the full embedding table; cosine is a pure Catalyst
+  ``zip_with``/``aggregate`` fold (sequential, deterministic summation order
+  → bit-reproducible and oracle-matchable), top-k via the WindowGroupLimit
+  partial top-k (no executor holds more than k rows per probe).  At 100 TB
+  this is one scan per probe batch — the right baseline when probes are few.
+* :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH.
+  Hyperplane weights come from the portable md5-60 family (deterministic,
+  reproducible on any cluster, and DuckDB-oracle-checkable), mapped to
+  [-1, 1).  Vectors land in 2^num_planes sign buckets; candidates are the
+  probe's bucket plus all buckets within ``probe_radius`` hamming bits
+  (multi-probe LSH), joined on bucket id — an equi-join, never a cross join.
+  Recall<1 by design; the pytest suite measures it against cosine_topk.
+
+The reference has no vector path at all; nearest analog is its VSM scoring
+(hw3/Snippets.cpp:242-250).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import md5_hash60
+
+HASH60_MAX = float(1 << 60)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, rank, vec_id, cos_sim): exact top-k cosine neighbors of
+    each probe (self excluded); tie-break (cos desc, vec_id asc)."""
+    from pyspark.sql import Window
+
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    )
+    joined = embeddings.join(F.broadcast(probes), F.col(id_col) != F.col("probe_id"))
+    sim = joined.select(
+        "probe_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            _dot(F.col(vec_col), F.col("probe_vec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def hyperplane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for (plane, dim):
+    md5_60(plane || ':' || dim) / 2^59 - 1.  Portable to ANSI SQL."""
+    h = md5_hash60(F.concat_ws(":", plane.cast("string"), dim.cast("string")))
+    return h.cast("double") / F.lit(HASH60_MAX / 2.0) - F.lit(1.0)
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    table_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-pattern bucket id over num_planes random
+    hyperplanes.  Pure array lambdas — one narrow map over the table.
+    ``table_id`` offsets the hyperplane seed so multiple independent hash
+    tables can be built from the same family."""
+    base = table_id * num_planes
+    planes = F.sequence(F.lit(base), F.lit(base + num_planes - 1))
+    proj = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                    lambda d: hyperplane_weight(p, d),
+                ),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            proj,
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            # 2^p via pow (exact in double for p < 50; shiftleft needs a
+            # literal shift amount so it can't be used inside the lambda)
+            lambda s, p: F.when(
+                s > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, rank, vec_id, cos_sim): approximate top-k.
+
+    Standard (L, p) LSH: ``num_tables`` independent hash tables of
+    ``num_planes`` hyperplanes each; candidates = union over tables of the
+    probe's bucket plus all buckets within ``probe_radius`` bit flips
+    (multi-probe), then exact cosine re-ranking.  Each table is one narrow
+    map + one equi-join on (table, bucket); recall/cost tunes with
+    (L, p, radius) exactly as on a real cluster.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    # one bucket column per table, computed in a single pass
+    emb_b = embeddings
+    for t in range(num_tables):
+        bt = lsh_buckets(
+            embeddings, num_planes=num_planes, table_id=t, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed("vec_id", "__bk_id").withColumnRenamed("bucket", f"bucket_{t}")
+        emb_b = emb_b.join(bt, F.col(id_col) == F.col("__bk_id")).drop("__bk_id")
+
+    # multi-probe flip masks (tiny: C(planes, <=r))
+    flips: list[int] = [0]
+    for r in range(1, probe_radius + 1):
+        for combo in combinations(range(num_planes), r):
+            m = 0
+            for bit in combo:
+                m |= 1 << bit
+            flips.append(m)
+    flip_arr = F.array(*[F.lit(m).cast("long") for m in flips])
+
+    probes = emb_b.filter(F.col(id_col).isin(probe_ids))
+    per_table = []
+    for t in range(num_tables):
+        p_t = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.explode(
+                F.transform(flip_arr, lambda m: F.col(f"bucket_{t}").bitwiseXOR(m))
+            ).alias(f"bucket_{t}"),
+        )
+        per_table.append(
+            emb_b.join(F.broadcast(p_t), f"bucket_{t}")
+            .filter(F.col(id_col) != F.col("probe_id"))
+            .select("probe_id", "probe_vec", F.col(id_col).alias("__cand_id"), vec_col)
+        )
+    cand = reduce(lambda a, b: a.unionByName(b), per_table).dropDuplicates(
+        ["probe_id", "__cand_id"]
+    ).withColumnRenamed("__cand_id", id_col)
+    sim = cand.select(
+        "probe_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            _dot(F.col(vec_col), F.col("probe_vec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+            6,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["probe_id", "vec_id"])
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cos_sim")
+    )

@@ -1,0 +1,206 @@
+"""Stage checkpointing with per-partition lineage + metrics (north_star:
+"resumable from Iceberg snapshot checkpoints with per-partition lineage and
+metrics (docs indexed, postings emitted, bytes compressed)").
+
+The reference resumes via compile-time IS_* stage flags over persisted
+intermediate files (hw3/config.h:66-75, hw3/main.cpp:6-66).  Our distributed
+analog: every pipeline stage lands in a parquet snapshot directory with a
+JSON *manifest* recording
+
+* ``stage``, ``inputs`` (upstream stage names + their manifest fingerprints
+  — the lineage chain),
+* ``row_count`` and per-partition metrics (rows per shuffle partition, plus
+  stage-specific sums such as postings emitted / payload bytes compressed),
+* wall time and a content fingerprint.
+
+``run_stage`` is idempotent: if a committed manifest exists whose lineage
+fingerprints match, the stage is *skipped* and its snapshot is read back —
+that is the resume path (kill the job between stages, rerun the same
+driver, finished stages replay from disk).  Manifest writes are
+write-temp-then-rename so a killed write never looks committed.
+
+On a real cluster the same abstraction binds to an Iceberg catalog
+(``writeTo(...).createOrReplace()`` + snapshot ids); parquet + manifest is
+the jar-free stand-in with identical semantics at this layer, and the
+storage format keeps an append-only ``snapshots`` list exactly like
+Iceberg's metadata chain.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fingerprint(obj) -> str:
+    return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    stage: str
+    path: str
+    manifest: dict
+    resumed: bool
+    df: DataFrame = field(repr=False, default=None)
+
+
+class CheckpointManager:
+    """Directory-per-stage snapshot store with lineage-aware resume."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage, "_MANIFEST.json")
+
+    def _data_path(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage, "data")
+
+    def load_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def run_stage(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        inputs: list[str] | None = None,
+        metric_cols: dict[str, str] | None = None,
+        params: dict | None = None,
+    ) -> StageResult:
+        """Build-or-resume one stage.
+
+        ``inputs``: upstream stage names; their manifest fingerprints become
+        this stage's lineage key — if any upstream changed, this stage
+        reruns.  ``metric_cols``: {metric_name: aggregate SQL expr} computed
+        per shuffle partition (e.g. {"postings_emitted": "count(*)",
+        "bytes_compressed": "sum(length(payload))"}).
+        """
+        inputs = inputs or []
+        lineage = {}
+        for up in inputs:
+            m = self.load_manifest(up)
+            if m is None:
+                raise ValueError(f"stage {stage}: upstream {up} has no committed manifest")
+            lineage[up] = m["fingerprint"]
+        key = _fingerprint({"stage": stage, "lineage": lineage, "params": params or {}})
+
+        existing = self.load_manifest(stage)
+        if existing is not None and existing.get("lineage_key") == key:
+            df = self.spark.read.parquet(self._data_path(stage))
+            return StageResult(stage, self._data_path(stage), existing, resumed=True, df=df)
+
+        t0 = time.time()
+        df = build()
+        data_path = self._data_path(stage)
+        df.write.mode("overwrite").parquet(data_path)
+        persisted = self.spark.read.parquet(data_path)
+
+        # per-partition lineage metrics over the *persisted* snapshot
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for name, expr in (metric_cols or {}).items():
+            aggs.append(F.expr(expr).alias(name))
+        per_part = (
+            persisted.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(*aggs)
+            .orderBy("partition_id")
+            .collect()
+        )
+        partitions = [r.asDict() for r in per_part]
+        row_count = int(sum(p["rows"] for p in partitions))
+
+        manifest = {
+            "stage": stage,
+            "lineage_key": key,
+            "lineage": lineage,
+            "params": params or {},
+            "row_count": row_count,
+            "n_partitions": len(partitions),
+            "partitions": partitions,
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest["fingerprint"] = _fingerprint(
+            {k: manifest[k] for k in ("stage", "lineage_key", "row_count")}
+        )
+        # append-only snapshot history (Iceberg metadata-chain analog)
+        prev = existing.get("snapshots", []) if existing else []
+        manifest["snapshots"] = prev + [
+            {"fingerprint": manifest["fingerprint"], "committed_at": manifest["committed_at"]}
+        ]
+        mp = self._manifest_path(stage)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mp)  # atomic commit: kill mid-write never corrupts
+        return StageResult(stage, data_path, manifest, resumed=False, df=persisted)
+
+
+def build_index_checkpointed(
+    spark: SparkSession, documents: DataFrame, base_dir: str, bucket_span: int | None = None
+) -> dict[str, StageResult]:
+    """The full index build as resumable stages:
+    documents → postings → (doc_table, lexicon, blocks).
+
+    Metrics per north_star: docs indexed, postings emitted, bytes
+    compressed — recorded per partition in each stage manifest.
+    """
+    from .blocks import build_block_index
+    from .stats import collection_stats, doc_table, lexicon
+    from .tokenize import postings_from_documents
+
+    cp = CheckpointManager(spark, base_dir)
+    out: dict[str, StageResult] = {}
+
+    out["documents"] = cp.run_stage(
+        "documents",
+        lambda: documents,
+        metric_cols={"docs_indexed": "count(*)", "chars": "sum(doc_len)"},
+    )
+    docs = out["documents"].df
+
+    out["postings"] = cp.run_stage(
+        "postings",
+        lambda: postings_from_documents(docs),
+        inputs=["documents"],
+        metric_cols={"postings_emitted": "count(*)", "docs_indexed": "count(distinct doc_id)"},
+    )
+    postings = out["postings"].df
+
+    st = collection_stats(docs)
+    out["doc_table"] = cp.run_stage(
+        "doc_table",
+        lambda: doc_table(docs, postings),
+        inputs=["documents", "postings"],
+        metric_cols={"docs_indexed": "count(*)"},
+    )
+    out["lexicon"] = cp.run_stage(
+        "lexicon",
+        lambda: lexicon(postings),
+        inputs=["postings"],
+        metric_cols={"terms": "count(*)", "postings_emitted": "sum(df)"},
+    )
+    out["blocks"] = cp.run_stage(
+        "blocks",
+        lambda: build_block_index(postings, st["avg_doc_len"], bucket_span=bucket_span),
+        inputs=["postings"],
+        params={"avg_doc_len": st["avg_doc_len"], "bucket_span": bucket_span},
+        metric_cols={
+            "postings_emitted": "sum(n_postings)",
+            "bytes_compressed": "sum(length(payload))",
+        },
+    )
+    return out

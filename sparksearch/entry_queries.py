@@ -1,0 +1,628 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Every operator the engine implements is registered here twice: once as a
+PySpark plan (``SPARK_QUERIES[name]``, a callable of (spark, sf_dir)) and
+once as the exactly-equivalent ANSI SQL string (``ORACLE_SQL[name]``) that
+DuckDB runs over the same parquet tables.  The driver compares row counts,
+schemas, and order-insensitive value hashes — so:
+
+* every float crossing the boundary is emitted as ``*_micro``: the value
+  scaled by 1e6 and rounded to BIGINT (integer equality sidesteps
+  double-bit-pattern hashing; both engines round half-away-from-zero);
+* every ranking ranks on the micro value with an explicit doc_id/vec_id
+  tie-break, so sub-1e-6 float noise cannot flip a rank;
+* every hash uses the portable md5-60 family (analysis.md5_hash60 ==
+  ``('0x' || substr(md5(x), 1, 15))::BIGINT``), bit-identical in both.
+
+The BM25 query set exercises: multi-term OR/AND, repeated query terms
+(weight > 1), hot (high-df, negative-idf) terms, and absent terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analysis import (
+    BPE_ISH_PATTERN,
+    LANG_PROFILES,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+from .ann import cosine_topk, lsh_bucket_topk
+from .blocks import build_block_index, decode_block_index, index_size_stats
+from .constants import BM25_B, BM25_K1, CONJUNCTIVE, DISJUNCTIVE, SEPARATOR_REGEX, TOP_K
+from .corpus import documents_from_testdata
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .query import query_terms_df, score_postings
+from .stats import collection_stats, lexicon
+from .tokenize import postings_from_documents, tokenize_text
+from .wand import wand_topk
+
+# --- shared constants for the registered entries -----------------------------
+
+SEP_SQL = SEPARATOR_REGEX.replace("'", "''")  # SQL-literal-safe separator class
+MICRO = 1_000_000
+
+QUERY_SET: list[tuple[int, str, str]] = [
+    (1, "hash join merge", DISJUNCTIVE),
+    (2, "table scan filter", DISJUNCTIVE),
+    (5, "spark spark stream", DISJUNCTIVE),   # repeated term -> weight 2
+    (6, "zzznotaterm table", DISJUNCTIVE),    # absent term ignored
+    (8, "the a scan", DISJUNCTIVE),           # hot terms (negative idf allowed)
+    (3, "sort order window", CONJUNCTIVE),
+    (4, "key value", CONJUNCTIVE),
+    (7, "zzznotaterm table", CONJUNCTIVE),    # absent term -> empty result
+]
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.2
+JACCARD_MAX_DF = 100
+MINHASH_K = 8
+MINHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 8
+ANN_PROBES = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 10
+
+
+def micro(col: F.Column) -> F.Column:
+    return F.round(col * MICRO, 0).cast("long")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_from_testdata(spark, sf_dir)
+
+
+def _qterms_values_sql(mode: str) -> str:
+    """VALUES rows (query_id, term, weight, n_terms) for one mode,
+    produced by the same tokenizer as the Spark path."""
+    from collections import Counter
+
+    rows = []
+    for qid, text, m in QUERY_SET:
+        if m != mode:
+            continue
+        cnt = Counter(tokenize_text(text))
+        for term, w in cnt.items():
+            rows.append(f"({qid}, '{term}', {w}, {len(cnt)})")
+    return ", ".join(rows)
+
+
+# --- SQL CTE fragments shared by the oracles ---------------------------------
+
+SQL_TOKS = (
+    "toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '{sep}')) AS term "
+    "FROM documents)"
+).format(sep=SEP_SQL)
+
+SQL_POSTINGS = (
+    "postings AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks "
+    "WHERE length(term) > 0 GROUP BY doc_id, term)"
+)
+
+SQL_SHINGLES = (
+    "tarr AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '{sep}'), "
+    "x -> length(x) > 0) AS arr FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(arr) - 1, 1)), "
+    "i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]))) AS shingle "
+    "FROM tarr WHERE len(arr) >= 3)"
+).format(sep=SEP_SQL)
+
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _bm25_score_sql() -> str:
+    k1, b = BM25_K1, BM25_B
+    return (
+        f"q.weight * (ln((s.n_docs - l.df + 0.5) / (l.df + 0.5)) * {k1 + 1} * p.tf "
+        f"/ ({k1} * ((1 - {b}) + {b} * d.dl / s.avgdl) + p.tf))"
+    )
+
+
+def _topk_sql(mode: str) -> str:
+    and_filter = "WHERE matched = n_terms" if mode == CONJUNCTIVE else ""
+    return f"""
+WITH {SQL_TOKS},
+{SQL_POSTINGS},
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(length(text)) avgdl FROM documents),
+doclen AS (SELECT doc_id, CAST(length(text) AS BIGINT) dl FROM documents),
+lex AS (SELECT term, CAST(count(*) AS BIGINT) df FROM postings GROUP BY term),
+qterms(query_id, term, weight, n_terms) AS (VALUES {_qterms_values_sql(mode)}),
+scored AS (
+  SELECT q.query_id, p.doc_id, max(q.n_terms) n_terms, count(*) matched,
+         sum({_bm25_score_sql()}) score
+  FROM qterms q
+  JOIN lex l USING (term)
+  JOIN postings p USING (term)
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+m AS (SELECT query_id, doc_id, CAST(round(score * {MICRO}) AS BIGINT) score_micro
+      FROM scored {and_filter})
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM m
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _spark_topk_exhaustive(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings).select("term", "df")
+    qt = query_terms_df(spark, [q for q in QUERY_SET if q[2] == mode])
+    scored = score_postings(postings, lex, qt, st["n_docs"], st["avg_doc_len"])
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("partial_score").alias("score"),
+        F.count("*").alias("matched"),
+        F.max("n_terms").alias("n_terms"),
+    )
+    if mode == CONJUNCTIVE:
+        agg = agg.filter(F.col("matched") == F.col("n_terms"))
+    m = agg.select("query_id", "doc_id", micro(F.col("score")).alias("score_micro"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def _spark_topk_wand(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    """Compressed-index block-max path; over-fetch then micro re-rank so the
+    1e-6 rounding boundary cannot disagree with the oracle's ranking."""
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings).select("term", "df")
+    blocks = build_block_index(postings, st["avg_doc_len"])
+    qt = query_terms_df(spark, [q for q in QUERY_SET if q[2] == mode])
+    raw = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K + 30)
+    m = raw.select("query_id", "doc_id", micro(F.col("score")).alias("score_micro"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+# --- the registry ------------------------------------------------------------
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, fn, sql: str | None) -> None:
+    SPARK_QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+# 1. doc table (SURVEY §2.1 S5; DocTable hw3/DocTable.cpp:25-102) + sha256
+#    invariant (input_hint: per-row content sha256 equality)
+_register(
+    "doc_table",
+    lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id", "repo", "path", "doc_len", "content_sha256"
+    ),
+    """
+SELECT doc_id, source AS repo, concat(source, '/', doc_id) AS path,
+       CAST(length(text) AS BIGINT) AS doc_len, sha256(text) AS content_sha256
+FROM documents
+""",
+)
+
+# 2. collection stats N/avgdl (SURVEY §2.4 A3; hw3/DocTable.cpp:57-65)
+_register(
+    "collection_stats",
+    lambda spark, sf_dir: _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        micro(F.avg("doc_len")).alias("avg_doc_len_micro"),
+    ),
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(length(text)) * {MICRO}) AS BIGINT) AS avg_doc_len_micro
+FROM documents
+""",
+)
+
+# 3. postings via the vectorized tokenize UDF (SURVEY §2.2 P1/A1;
+#    hw2/DataLoader.cpp:27-70) — the UDF path checked against pure SQL
+_register(
+    "postings",
+    lambda spark, sf_dir: postings_from_documents(_docs(spark, sf_dir)),
+    f"""
+WITH {SQL_TOKS}, {SQL_POSTINGS},
+doclen AS (SELECT doc_id, CAST(length(text) AS BIGINT) dl FROM documents)
+SELECT p.doc_id, p.term, p.tf, d.dl AS doc_len
+FROM postings p JOIN doclen d ON d.doc_id = p.doc_id
+""",
+)
+
+# 4. lexicon df/cf (SURVEY §2.4 A2; hw3/Lexicon.cpp:124)
+_register(
+    "lexicon",
+    lambda spark, sf_dir: lexicon(postings_from_documents(_docs(spark, sf_dir))),
+    f"""
+WITH {SQL_TOKS}, {SQL_POSTINGS}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM postings GROUP BY term
+""",
+)
+
+
+# 5. blocked varbyte+delta index round-trip (SURVEY §2.1 S7/§2.7 F3-F5;
+#    hw3/Lexicon.cpp:65-219 / hw3/DataLoader.cpp:591-634): encode then decode
+#    must reproduce the postings exactly — codec checked against pure SQL
+def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    blocks = build_block_index(postings, st["avg_doc_len"])
+    return decode_block_index(blocks).select("doc_id", "term", "tf", "doc_len")
+
+
+_register(
+    "postings_roundtrip",
+    _roundtrip,
+    f"""
+WITH {SQL_TOKS}, {SQL_POSTINGS},
+doclen AS (SELECT doc_id, CAST(length(text) AS BIGINT) dl FROM documents)
+SELECT p.doc_id, p.term, p.tf, d.dl AS doc_len
+FROM postings p JOIN doclen d ON d.doc_id = p.doc_id
+""",
+)
+
+# 6/7. BM25 exhaustive top-k, OR and AND (SURVEY §2.3 J2, §2.4 A4/A5, §2.5 T3;
+#      hw3/DataLoader.cpp:302-314,372-430,636-671)
+_register(
+    "bm25_topk_or",
+    lambda spark, sf_dir: _spark_topk_exhaustive(spark, sf_dir, DISJUNCTIVE),
+    _topk_sql(DISJUNCTIVE),
+)
+_register(
+    "bm25_topk_and",
+    lambda spark, sf_dir: _spark_topk_exhaustive(spark, sf_dir, CONJUNCTIVE),
+    _topk_sql(CONJUNCTIVE),
+)
+
+# 8/9. block-max WAND DAAT top-k over the compressed index (north_star;
+#      must equal the exhaustive oracle rank-identically)
+_register(
+    "wand_topk_or",
+    lambda spark, sf_dir: _spark_topk_wand(spark, sf_dir, DISJUNCTIVE),
+    _topk_sql(DISJUNCTIVE),
+)
+_register(
+    "wand_topk_and",
+    lambda spark, sf_dir: _spark_topk_wand(spark, sf_dir, CONJUNCTIVE),
+    _topk_sql(CONJUNCTIVE),
+)
+
+# 10. exact dedup by sha256
+_register(
+    "dedup_exact",
+    lambda spark, sf_dir: exact_duplicates(_docs(spark, sf_dir)),
+    """
+SELECT doc_id, sha256(text) AS dup_group,
+       CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+FROM documents
+""",
+)
+
+
+# 11. exact n-gram Jaccard near-dup pairs
+def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b", micro(F.col("jaccard")).alias("jaccard_micro")
+    )
+
+
+_register(
+    "ngram_jaccard_pairs",
+    _jaccard,
+    f"""
+WITH {SQL_SHINGLES},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {JACCARD_MAX_DF}),
+shf AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) set_size FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) inter
+  FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b, inter, sa.set_size size_a, sb.set_size size_b,
+         round(inter::DOUBLE / (sa.set_size + sb.set_size - inter), 6) jacc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, inter, size_a, size_b,
+       CAST(round(jacc * {MICRO}) AS BIGINT) AS jaccard_micro
+FROM j WHERE jacc >= {JACCARD_THRESHOLD}
+""",
+)
+
+# 12. MinHash signatures (portable md5-60 hash family)
+_register(
+    "minhash_signatures",
+    lambda spark, sf_dir: minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=MINHASH_K, n=JACCARD_N
+    ),
+    f"""
+WITH {SQL_SHINGLES},
+idx AS (SELECT doc_id, shingle, CAST(r.range AS INT) sig_idx
+        FROM sh CROSS JOIN range({MINHASH_K}) r),
+h AS (SELECT doc_id, sig_idx,
+             {H60.format(x="sig_idx::VARCHAR || ':' || shingle")} h
+      FROM idx)
+SELECT doc_id, sig_idx, min(h) AS minhash FROM h GROUP BY doc_id, sig_idx
+""",
+)
+
+# 13. MinHash-LSH banded candidate pairs + signature-agreement estimate
+_register(
+    "minhash_lsh_pairs",
+    lambda spark, sf_dir: minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
+    ).select(
+        "doc_a", "doc_b", "agree", micro(F.col("sig_agreement")).alias("sig_agreement_micro")
+    ),
+    f"""
+WITH {SQL_SHINGLES},
+idx AS (SELECT doc_id, shingle, CAST(r.range AS INT) sig_idx
+        FROM sh CROSS JOIN range({MINHASH_K}) r),
+h AS (SELECT doc_id, sig_idx,
+             {H60.format(x="sig_idx::VARCHAR || ':' || shingle")} h
+      FROM idx),
+sig AS (SELECT doc_id, sig_idx, min(h) minhash FROM h GROUP BY doc_id, sig_idx),
+band AS (SELECT doc_id, CAST(sig_idx // {MINHASH_K // MINHASH_BANDS} AS INT) band,
+                string_agg(minhash::VARCHAR, ',' ORDER BY sig_idx) vals
+         FROM sig GROUP BY doc_id, CAST(sig_idx // {MINHASH_K // MINHASH_BANDS} AS INT)),
+bh AS (SELECT doc_id, band, {H60.format(x="vals")} band_hash FROM band),
+cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         FROM bh a JOIN bh b USING (band, band_hash) WHERE a.doc_id < b.doc_id),
+agree AS (
+  SELECT doc_a, doc_b, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) agree
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sb.sig_idx = sa.sig_idx
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, agree,
+       CAST(round(round(agree::DOUBLE / {MINHASH_K}, 6) * {MICRO}) AS BIGINT) AS sig_agreement_micro
+FROM agree
+""",
+)
+
+# 14. SimHash 60-bit fingerprints
+_register(
+    "simhash",
+    lambda spark, sf_dir: simhash(_docs(spark, sf_dir)),
+    f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM toks
+       WHERE length(term) > 0 GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, {H60.format(x="term")} h FROM tf),
+bits AS (SELECT doc_id, CAST(b.range AS INT) b,
+                CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN tf ELSE -tf END contrib
+         FROM h CROSS JOIN range(60) b),
+acc AS (SELECT doc_id, b, sum(contrib) s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM acc GROUP BY doc_id
+""",
+)
+
+# 15. SimHash near-dup pairs via 15-bit segment blocking (pigeonhole)
+_register(
+    "simhash_pairs",
+    lambda spark, sf_dir: simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING),
+    f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM toks
+       WHERE length(term) > 0 GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, {H60.format(x="term")} h FROM tf),
+bits AS (SELECT doc_id, CAST(b.range AS INT) b,
+                CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN tf ELSE -tf END contrib
+         FROM h CROSS JOIN range(60) b),
+acc AS (SELECT doc_id, b, sum(contrib) s FROM bits GROUP BY doc_id, b),
+shash AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) simhash
+          FROM acc GROUP BY doc_id),
+segs AS (SELECT doc_id, simhash, CAST(sg.range AS INT) seg,
+                (simhash >> (CAST(sg.range AS INT) * 15)) & 32767 seg_val
+         FROM shash CROSS JOIN range(4) sg),
+cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.simhash sh_a, b.simhash sh_b
+         FROM segs a JOIN segs b USING (seg, seg_val) WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+
+# 16. text quality features
+_register(
+    "text_quality",
+    lambda spark, sf_dir: text_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        micro(F.col("avg_token_len")).alias("avg_token_len_micro"),
+        micro(F.col("alnum_ratio")).alias("alnum_ratio_micro"),
+        micro(F.col("stopword_ratio")).alias("stopword_ratio_micro"),
+        micro(F.col("quality_score")).alias("quality_score_micro"),
+    ),
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+         list_filter(regexp_split_to_array(text, '{SEP_SQL}'), x -> length(x) > 0) toks,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) n_alnum
+  FROM documents),
+f AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) n_distinct,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) tok_chars,
+         CAST(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, x))) AS BIGINT) n_stop,
+         n_alnum
+  FROM t),
+r AS (
+  SELECT doc_id, n_chars, n_tokens, n_distinct,
+         tok_chars::DOUBLE / greatest(n_tokens, 1) atl,
+         n_alnum::DOUBLE / greatest(n_chars, 1) ar,
+         n_stop::DOUBLE / greatest(n_tokens, 1) sr,
+         n_distinct::DOUBLE / greatest(n_tokens, 1) dr
+  FROM f)
+SELECT doc_id, n_chars, n_tokens, n_distinct,
+       CAST(round(round(atl, 6) * {MICRO}) AS BIGINT) avg_token_len_micro,
+       CAST(round(round(ar, 6) * {MICRO}) AS BIGINT) alnum_ratio_micro,
+       CAST(round(round(sr, 6) * {MICRO}) AS BIGINT) stopword_ratio_micro,
+       CAST(round(round((CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END + ar + dr) / 3.0, 6) * {MICRO}) AS BIGINT) quality_score_micro
+FROM r
+""",
+)
+
+# 17. heuristic language ID (marker-token voting)
+_LANG_VALUES = ", ".join(
+    f"('{lang}', '{tok}')" for lang, toks in LANG_PROFILES.items() for tok in toks
+)
+_register(
+    "language_id",
+    lambda spark, sf_dir: language_id(_docs(spark, sf_dir)),
+    f"""
+WITH {SQL_TOKS},
+nz AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+profiles(lang_cand, term) AS (VALUES {_LANG_VALUES}),
+hits AS (SELECT t.doc_id, p.lang_cand, CAST(count(*) AS BIGINT) hits
+         FROM nz t JOIN profiles p ON p.term = t.term GROUP BY t.doc_id, p.lang_cand),
+best AS (SELECT doc_id, lang_cand, hits,
+                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) rn
+         FROM hits)
+SELECT d.doc_id, coalesce(b.lang_cand, 'und') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+)
+
+# 18. token counting (whitespace / reference charset / BPE-ish pretokenizer)
+_register(
+    "token_counts",
+    lambda spark, sf_dir: token_counts(_docs(spark, sf_dir)),
+    f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) n_chars,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '{SEP_SQL}'), x -> length(x) > 0)) AS BIGINT) sep_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) bpe_ish_tokens
+FROM documents
+""",
+)
+
+# 19. document fingerprint (min/max shingle hash; 1-function MinHash)
+_register(
+    "doc_fingerprint",
+    lambda spark, sf_dir: doc_fingerprint(_docs(spark, sf_dir), n=JACCARD_N),
+    f"""
+WITH {SQL_SHINGLES},
+h AS (SELECT doc_id, {H60.format(x="shingle")} h FROM sh)
+SELECT doc_id, CAST(count(*) AS BIGINT) n_shingles, min(h) fp_min, max(h) fp_max
+FROM h GROUP BY doc_id
+""",
+)
+
+# 20. brute-force cosine top-k over embeddings (exact ANN baseline)
+_ANN_IDS = ", ".join(str(i) for i in ANN_PROBES)
+_register(
+    "embedding_cosine_topk",
+    lambda spark, sf_dir: cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ANN_PROBES, k=ANN_K
+    ).select("probe_id", "rank", "vec_id", micro(F.col("cos_sim")).alias("cos_micro")),
+    f"""
+WITH probes AS (SELECT vec_id probe_id, embedding::DOUBLE[] pv FROM embeddings
+                WHERE vec_id IN ({_ANN_IDS})),
+pairs AS (
+  SELECT p.probe_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], p.pv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.pv, p.pv))), 6) cs
+  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, CAST(rank AS INT) rank, vec_id, cos_micro FROM (
+  SELECT probe_id, vec_id, CAST(round(cs * {MICRO}) AS BIGINT) cos_micro,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY CAST(round(cs * {MICRO}) AS BIGINT) DESC, vec_id ASC) rank
+  FROM pairs
+) WHERE rank <= {ANN_K}
+""",
+)
+
+# 21. LSH-bucketed approximate ANN — approximate by design: rows-only check;
+#     recall vs the exact baseline is asserted in tests/test_ann.py
+_register(
+    "ann_lsh_topk",
+    lambda spark, sf_dir: lsh_bucket_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ANN_PROBES,
+        k=ANN_K,
+        num_planes=6,
+        num_tables=4,
+        probe_radius=1,
+    ).select("probe_id", "rank", "vec_id", micro(F.col("cos_sim")).alias("cos_micro")),
+    None,
+)
+
+
+# 22. compressed-index size accounting — compression-ratio dependent, no SQL
+#     twin; rows-only check (SURVEY §6 index-size rows)
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    blocks = build_block_index(postings_from_documents(docs), st["avg_doc_len"])
+    s = index_size_stats(blocks)
+    return spark.createDataFrame(
+        [(s["n_blocks"], s["payload_bytes"], s["n_postings"], s["n_terms"])],
+        "n_blocks long, payload_bytes long, n_postings long, n_terms long",
+    )
+
+
+_register("index_stats", _index_stats, None)
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry(): the full pipeline end-to-end at sf0.001 — adapter → tokenize
+    UDF → stats/lexicon → compressed block index → block-max WAND top-k →
+    broadcast join back to (repo, path)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings).select("term", "df")
+    blocks = build_block_index(postings, st["avg_doc_len"])
+    qt = query_terms_df(spark, QUERY_SET)
+    out = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K)
+    return F.broadcast(out).join(
+        docs.select("doc_id", "repo", "path", "content_sha256"), "doc_id"
+    ).select("query_id", "rank", "doc_id", "score", "repo", "path", "content_sha256")

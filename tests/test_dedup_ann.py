@@ -1,0 +1,100 @@
+"""Semantic checks for the dedup + similarity-search operators on corpora
+with known duplicate structure (the driver testdata has no dups, so we
+inject them here)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparksearch.ann import cosine_topk, lsh_bucket_topk  # noqa: E402
+from sparksearch.corpus import documents_from_testdata  # noqa: E402
+from sparksearch.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Driver docs + exact clones of docs 0-4 (ids 10000-10004) + a
+    near-clone of doc 0 (id 10005: doc 0's text with a short suffix)."""
+    base = documents_from_testdata(spark, SF_DIR)
+    clones = (
+        base.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    near = (
+        base.filter(F.col("doc_id") == 0)
+        .withColumn("doc_id", F.lit(10005).cast("long"))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" extra tail token")))
+        .withColumn("doc_len", F.length("content").cast("long"))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    return base.unionByName(clones).unionByName(near).cache()
+
+
+def test_exact_duplicates(docs_with_dups):
+    out = exact_duplicates(docs_with_dups).filter(F.col("group_size") > 1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 5 clone pairs -> 10 rows in dup groups; near-clone is NOT an exact dup
+    assert set(rows) == {0, 1, 2, 3, 4, 10000, 10001, 10002, 10003, 10004}
+    for orig in range(5):
+        assert rows[orig]["is_canonical"]
+        assert not rows[orig + 10000]["is_canonical"]
+        assert rows[orig]["dup_group"] == rows[orig + 10000]["dup_group"]
+
+
+def test_ngram_jaccard_finds_clones(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    for orig in range(5):
+        assert pairs.get((orig, orig + 10000)) == 1.0  # identical shingle sets
+    assert (0, 10005) in pairs  # near-clone above 0.5
+    assert pairs[(0, 10005)] < 1.0
+
+
+def test_minhash_lsh_finds_clones(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["sig_agreement"]
+        for r in minhash_lsh_pairs(docs_with_dups).collect()
+    }
+    for orig in range(5):
+        assert pairs.get((orig, orig + 10000)) == 1.0  # all bands collide
+
+
+def test_simhash_clones_zero_hamming(docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs_with_dups, max_hamming=8).collect()
+    }
+    for orig in range(5):
+        assert pairs.get((orig, orig + 10000)) == 0
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = list(range(16))
+    k = 10
+    exact = cosine_topk(emb, probes, k=k)
+    approx = lsh_bucket_topk(emb, probes, k=k, num_planes=6, num_tables=4, probe_radius=1)
+    ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # approximate by design; radius-2 multiprobe over 8 planes should
+    # recover well over half of the true neighbors on 500 vectors
+    assert recall >= 0.5, f"LSH ANN recall too low: {recall:.3f}"
+    # and whatever it returns must be truly ranked by exact cosine
+    for r in approx.groupBy("probe_id").agg(F.max("rank").alias("m")).collect():
+        assert r["m"] <= k
