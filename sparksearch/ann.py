@@ -27,8 +27,6 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .analysis import md5_hash60
-
 HASH60_MAX = float(1 << 60)
 
 
@@ -83,11 +81,40 @@ def cosine_topk(
     )
 
 
-def hyperplane_weight(plane: Column, dim: Column) -> Column:
+def hyperplane_weight_py(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) for (plane, dim):
-    md5_60(plane || ':' || dim) / 2^59 - 1.  Portable to ANSI SQL."""
-    h = md5_hash60(F.concat_ws(":", plane.cast("string"), dim.cast("string")))
-    return h.cast("double") / F.lit(HASH60_MAX / 2.0) - F.lit(1.0)
+    md5_60(plane || ':' || dim) / 2^59 - 1.  Pure function — identical from
+    Python, Spark SQL, or DuckDB, so hyperplanes are reproducible on any
+    cluster without shipping state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return h / (HASH60_MAX / 2.0) - 1.0
+
+
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    return int(embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+
+
+def bucket_expr(vec_col: str, num_planes: int, table_id: int, dim: int) -> Column:
+    """Sign-pattern bucket id over num_planes hyperplanes as a pure column
+    expression.  Hyperplane weights are materialized driver-side as plan
+    literals (hashing per (plane, dim) pair once, not per row); the
+    projection is a codegen'd array fold.  ``table_id`` offsets the
+    hyperplane seed so independent hash tables come from one family."""
+    base = table_id * num_planes
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        w = F.array(*[F.lit(hyperplane_weight_py(base + p, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, wgt: x.cast("double") * wgt),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
 
 
 def lsh_buckets(
@@ -96,42 +123,15 @@ def lsh_buckets(
     table_id: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """(vec_id, bucket): sign-pattern bucket id over num_planes random
-    hyperplanes.  Pure array lambdas — one narrow map over the table.
-    ``table_id`` offsets the hyperplane seed so multiple independent hash
-    tables can be built from the same family."""
-    base = table_id * num_planes
-    planes = F.sequence(F.lit(base), F.lit(base + num_planes - 1))
-    proj = F.transform(
-        planes,
-        lambda p: F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                    lambda d: hyperplane_weight(p, d),
-                ),
-                lambda x, wgt: x.cast("double") * wgt,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    """(vec_id, bucket): one narrow map over the table (see bucket_expr)."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        bucket_expr(vec_col, num_planes, table_id, dim).alias("bucket"),
     )
-    bucket = F.aggregate(
-        F.zip_with(
-            proj,
-            F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            # 2^p via pow (exact in double for p < 50; shiftleft needs a
-            # literal shift amount so it can't be used inside the lambda)
-            lambda s, p: F.when(
-                s > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
 def lsh_bucket_topk(
@@ -157,13 +157,15 @@ def lsh_bucket_topk(
 
     from pyspark.sql import Window
 
-    # one bucket column per table, computed in a single pass
-    emb_b = embeddings
-    for t in range(num_tables):
-        bt = lsh_buckets(
-            embeddings, num_planes=num_planes, table_id=t, id_col=id_col, vec_col=vec_col
-        ).withColumnRenamed("vec_id", "__bk_id").withColumnRenamed("bucket", f"bucket_{t}")
-        emb_b = emb_b.join(bt, F.col(id_col) == F.col("__bk_id")).drop("__bk_id")
+    # all tables' bucket columns in ONE narrow projection (no self-joins)
+    dim = _infer_dim(embeddings, vec_col)
+    emb_b = embeddings.select(
+        "*",
+        *[
+            bucket_expr(vec_col, num_planes, t, dim).alias(f"bucket_{t}")
+            for t in range(num_tables)
+        ],
+    )
 
     # multi-probe flip masks (tiny: C(planes, <=r))
     flips: list[int] = [0]

@@ -112,42 +112,80 @@ def synthetic_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partition
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
-def assign_dense_ids(df: DataFrame, order_cols: list[str], num_partitions: int | None = None) -> DataFrame:
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """Dense 0-based ids in ``order_cols`` order, without a global-window
-    single-partition sort.
+    single-partition sort.  ``order_cols`` must be a unique key.
 
-    Two-pass: range-partition + sort-within-partition on the key, count rows
-    per partition (tiny collect), then add broadcast cumulative offsets to
-    partition-local positions inside mapInPandas.  This is the distributed
-    analog of the reference's sequential docID assignment
-    (hw2/DataLoader.cpp:93,110) and scales linearly with input size.
+    The range bucket of each row is an **explicit function of the data**
+    (seeded-sample boundary list, broadcast into a comparison expression),
+    never of Spark's runtime partition placement — ``repartitionByRange``
+    re-samples per job, so two jobs over the same plan can disagree about
+    partition boundaries and corrupt the offsets (observed at 60k rows).
+    Three passes, all scale-linear: (1) seeded boundary sample, (2) count
+    per bucket → cumulative offsets (tiny collect), (3) shuffle by bucket +
+    sort-within + offset-add in mapInPandas.  This is the distributed analog
+    of the reference's sequential docID assignment (hw2/DataLoader.cpp:93,110).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(df.rdd.getNumPartitions(), 8)
-    parted = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *order_cols
-    )
-    parted = parted.withColumn("__pid", F.spark_partition_id())
-    counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+
+    key = F.concat_ws("\x01", *[F.col(c) for c in order_cols])
+    d = df.withColumn("__key", key)
+
+    if num_partitions > 1:
+        frac_rows = num_partitions * 100
+        n = d.count()
+        frac = min(1.0, frac_rows / max(n, 1))
+        sample = sorted(r["__key"] for r in d.select("__key").sample(False, frac, seed).collect())
+        step = max(len(sample) // num_partitions, 1)
+        bounds = sorted(set(sample[step::step]))[: num_partitions - 1]
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col("__key")))
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("__bucket", bucket)
+
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in d.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     boffsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields))
+    parted = d.repartition(max(len(counts), 1), "__bucket").sortWithinPartitions(
+        "__bucket", "__key"
+    )
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
+    )
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pos = 0
+        pos: dict[int, int] = {}  # bucket -> rows already numbered (stream-safe)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            off = boffsets.value[int(pdf["__pid"].iloc[0])]
-            ids = np.arange(pos + off, pos + off + len(pdf), dtype=np.int64)
-            pos += len(pdf)
-            out = pdf.drop(columns=["__pid"])
+            ids = np.empty(len(pdf), dtype=np.int64)
+            start = 0
+            for b, grp in pdf.groupby("__bucket", sort=True):
+                p = pos.get(int(b), 0)
+                off = boffsets.value[int(b)] + p
+                ids[start : start + len(grp)] = np.arange(off, off + len(grp))
+                pos[int(b)] = p + len(grp)
+                start += len(grp)
+            out = pdf.drop(columns=["__key", "__bucket"])
             out.insert(0, "doc_id", ids)
             yield out
 

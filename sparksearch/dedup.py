@@ -33,6 +33,20 @@ DEFAULT_BANDS = 4
 SIMHASH_BITS = 60
 SIMHASH_SEGMENTS = 4  # 15 bits each → hamming<=3 blocking
 
+# Affine MinHash permutation family over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i * x31 + b_i) mod P with x31 = md5_60(shingle) mod P.
+# One md5 per shingle instead of k; the (a_i, b_i) table is a pure function
+# of i so the DuckDB oracle regenerates it bit-identically.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    # Weyl-style deterministic constants; any fixed odd multiplier works.
+    return [
+        ((2 * i + 1) * 2_654_435_761 % MINHASH_PRIME, (i * 40_503 + 1) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
 
 def exact_duplicates(documents: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, dup_group, group_size, is_canonical): exact dedup by sha256.
@@ -68,16 +82,21 @@ def ngram_jaccard_pairs(
     standard trade-off — set max_df=None for the fully exact quadratic-risk
     variant).
     """
-    sh = shingles(documents, n=n, text_col=text_col)
+    # join on the 60-bit shingle hash, not the string: far smaller shuffle
+    # payload + integer comparisons (collision odds ~n²/2^61 — negligible,
+    # and the oracle hashes identically so parity is exact either way)
+    sh = shingles(documents, n=n, text_col=text_col).select(
+        "doc_id", md5_hash60(F.col("shingle")).alias("sh")
+    )
     if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("set_size"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("inter"))
@@ -105,23 +124,35 @@ def minhash_signatures(
     text_col: str = "content",
 ) -> DataFrame:
     """(doc_id, sig_idx, minhash): k-function MinHash over token n-gram
-    shingles, hash_i(s) = md5_60(i || ':' || s).
+    shingles via the affine family h_i(x) = (a_i·x + b_i) mod 2^31-1 on the
+    single md5-60 base hash (one md5 per shingle, not k).
 
     Shape: explode shingles once, cross the (tiny, literal) hash-index range
     with ``explode(sequence(...))``, one min-aggregation keyed by
     (doc_id, sig_idx) — partial-aggregates map-side, so the shuffle carries
     exactly k rows per doc regardless of doc size.
     """
-    sh = shingles(documents, n=n, text_col=text_col)
+    coeffs = minhash_coeffs(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    sh = shingles(documents, n=n, text_col=text_col).select(
+        "doc_id", (md5_hash60(F.col("shingle")) % MINHASH_PRIME).alias("x")
+    )
     idx = sh.select(
         "doc_id",
-        "shingle",
+        "x",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("sig_idx"),
     )
     h = idx.select(
         "doc_id",
         "sig_idx",
-        md5_hash60(F.concat_ws(":", F.col("sig_idx").cast("string"), F.col("shingle"))).alias("h"),
+        (
+            (
+                F.element_at(a_arr, F.col("sig_idx") + 1) * F.col("x")
+                + F.element_at(b_arr, F.col("sig_idx") + 1)
+            )
+            % MINHASH_PRIME
+        ).alias("h"),
     )
     return h.groupBy("doc_id", "sig_idx").agg(F.min("h").alias("minhash"))
 

@@ -343,12 +343,13 @@ _register(
     _jaccard,
     f"""
 WITH {SQL_SHINGLES},
-hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {JACCARD_MAX_DF}),
-shf AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+shh AS (SELECT doc_id, {H60.format(x="shingle")} sh0 FROM sh),
+hot AS (SELECT sh0 FROM shh GROUP BY sh0 HAVING count(*) > {JACCARD_MAX_DF}),
+shf AS (SELECT * FROM shh WHERE sh0 NOT IN (SELECT sh0 FROM hot)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) set_size FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) inter
-  FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
+  FROM shf a JOIN shf b USING (sh0) WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 j AS (
@@ -364,7 +365,19 @@ FROM j WHERE jacc >= {JACCARD_THRESHOLD}
 """,
 )
 
-# 12. MinHash signatures (portable md5-60 hash family)
+# 12. MinHash signatures (one md5-60 base hash + portable affine family)
+from .dedup import MINHASH_PRIME, minhash_coeffs  # noqa: E402
+
+_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+)
+SQL_MINHASH_SIG = f"""
+shh AS (SELECT doc_id, ({H60.format(x="shingle")}) % {MINHASH_PRIME} x FROM sh),
+perm(sig_idx, a, b) AS (VALUES {_PERM_VALUES}),
+sig AS (SELECT doc_id, sig_idx, min((a * x + b) % {MINHASH_PRIME}) minhash
+        FROM shh CROSS JOIN perm GROUP BY doc_id, sig_idx)
+"""
+
 _register(
     "minhash_signatures",
     lambda spark, sf_dir: minhash_signatures(
@@ -372,12 +385,8 @@ _register(
     ),
     f"""
 WITH {SQL_SHINGLES},
-idx AS (SELECT doc_id, shingle, CAST(r.range AS INT) sig_idx
-        FROM sh CROSS JOIN range({MINHASH_K}) r),
-h AS (SELECT doc_id, sig_idx,
-             {H60.format(x="sig_idx::VARCHAR || ':' || shingle")} h
-      FROM idx)
-SELECT doc_id, sig_idx, min(h) AS minhash FROM h GROUP BY doc_id, sig_idx
+{SQL_MINHASH_SIG}
+SELECT doc_id, sig_idx, minhash FROM sig
 """,
 )
 
@@ -391,12 +400,7 @@ _register(
     ),
     f"""
 WITH {SQL_SHINGLES},
-idx AS (SELECT doc_id, shingle, CAST(r.range AS INT) sig_idx
-        FROM sh CROSS JOIN range({MINHASH_K}) r),
-h AS (SELECT doc_id, sig_idx,
-             {H60.format(x="sig_idx::VARCHAR || ':' || shingle")} h
-      FROM idx),
-sig AS (SELECT doc_id, sig_idx, min(h) minhash FROM h GROUP BY doc_id, sig_idx),
+{SQL_MINHASH_SIG},
 band AS (SELECT doc_id, CAST(sig_idx // {MINHASH_K // MINHASH_BANDS} AS INT) band,
                 string_agg(minhash::VARCHAR, ',' ORDER BY sig_idx) vals
          FROM sig GROUP BY doc_id, CAST(sig_idx // {MINHASH_K // MINHASH_BANDS} AS INT)),
@@ -609,6 +613,40 @@ def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("index_stats", _index_stats, None)
+
+
+# 23. snippet generation over top-k results (SURVEY §2.7 F9/F10) — string
+#     processing, no SQL twin; rows-only check (kernels unit-tested against
+#     hand-computed reference semantics in tests/test_snippets.py)
+def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .snippets import attach_snippets
+    from .tokenize import tokenize_text
+
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings)
+    qset = [q for q in QUERY_SET if q[2] == DISJUNCTIVE][:3]
+    qt = query_terms_df(spark, qset)
+    res = _spark_topk_exhaustive(spark, sf_dir, DISJUNCTIVE).filter(
+        F.col("query_id").isin([q[0] for q in qset])
+    )
+    dfs = {r["term"]: int(r["df"]) for r in lex.collect()}
+    qinfo = {
+        qid: (tokenize_text(text), [dfs.get(w, 0) for w in tokenize_text(text)])
+        for qid, text, _ in qset
+    }
+    return attach_snippets(
+        res.withColumnRenamed("score_micro", "score"),
+        docs,
+        qinfo,
+        st["n_docs"],
+        st["avg_doc_len"],
+        algo="bm25",
+    )
+
+
+_register("snippets_bm25", _snippets, None)
 
 
 def flagship(spark: SparkSession) -> DataFrame:
