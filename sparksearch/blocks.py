@@ -70,46 +70,94 @@ def build_block_index(
     bucket_span=None encodes each term in one group (exact reference chunk
     geometry — use at test scale); set it (e.g. 1<<20) to bound group memory
     at cluster scale.
+
+    Physical shape: ONE shuffle (repartition by (term, bucket) +
+    sort-within-partition by (term, bucket, doc_id)) feeding a *streaming*
+    ``mapInPandas`` encoder that walks group boundaries inside each Arrow
+    batch with numpy — not ``applyInPandas``, which pays a per-group Python
+    round-trip and collapses on long-tail vocabularies (a source-code
+    corpus has ~1 unique identifier per doc → millions of 1-posting
+    groups).  A group split across Arrow batch boundaries is carried over
+    as a pending tail; sorted order makes the carry exact.
     """
+    spark = postings.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if bucket_span is None:
         with_bucket = postings.withColumn("bucket", F.lit(0).cast("long"))
     else:
         with_bucket = postings.withColumn(
             "bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long")
         )
+    parted = with_bucket.repartition(num_partitions, "term", "bucket").sortWithinPartitions(
+        "term", "bucket", "doc_id"
+    )
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+
+    def _encode_run(term: str, bucket: int, doc_ids, tfs, dls, out: dict) -> None:
         blocks = encode_postings(
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["doc_len"].to_numpy(np.int64),
+            np.asarray(doc_ids, np.int64),
+            np.asarray(tfs, np.int64),
+            np.asarray(dls, np.int64),
             avg_doc_len,
         )
-        return pd.DataFrame(
-            {
-                "term": term,
-                "bucket": bucket,
-                "block_id": [b.block_id for b in blocks],
-                "n_postings": [b.n_postings for b in blocks],
-                "n_chunks": [len(b.last_doc_ids) for b in blocks],
-                "last_doc_ids": [b.last_doc_ids.tolist() for b in blocks],
-                "docid_sizes": [b.docid_sizes.tolist() for b in blocks],
-                "tf_sizes": [b.tf_sizes.tolist() for b in blocks],
-                "dl_sizes": [b.dl_sizes.tolist() for b in blocks],
-                "payload": [b.payload for b in blocks],
-                "max_tf_norm": [b.max_tf_norm for b in blocks],
-                "min_tf_norm": [b.min_tf_norm for b in blocks],
-            }
-        )
+        for b in blocks:
+            out["term"].append(term)
+            out["bucket"].append(bucket)
+            out["block_id"].append(b.block_id)
+            out["n_postings"].append(b.n_postings)
+            out["n_chunks"].append(len(b.last_doc_ids))
+            out["last_doc_ids"].append(b.last_doc_ids.tolist())
+            out["docid_sizes"].append(b.docid_sizes.tolist())
+            out["tf_sizes"].append(b.tf_sizes.tolist())
+            out["dl_sizes"].append(b.dl_sizes.tolist())
+            out["payload"].append(b.payload)
+            out["max_tf_norm"].append(b.max_tf_norm)
+            out["min_tf_norm"].append(b.min_tf_norm)
 
-    grouped = with_bucket.groupBy("term", "bucket")
-    out = grouped.applyInPandas(encode_group, schema=BLOCKS_SCHEMA)
-    if num_partitions:
-        out = out.repartition(num_partitions, "term")
-    return out
+    def encode_stream(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            # group start indices in the sorted batch
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+            starts = np.flatnonzero(change)
+            # the last group may continue into the next batch — carry it
+            pend = pdf.iloc[starts[-1] :]
+            body_starts = starts[:-1]
+            if len(body_starts) == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["doc_len"].to_numpy(np.int64)
+            out: dict = {c: [] for c in cols}
+            bounds = np.append(body_starts, starts[-1])
+            for i in range(len(body_starts)):
+                s, e = bounds[i], bounds[i + 1]
+                _encode_run(terms[s], int(buckets[s]), doc_ids[s:e], tfs[s:e], dls[s:e], out)
+            yield pd.DataFrame(out)
+        if pend is not None and len(pend):
+            out = {c: [] for c in cols}
+            _encode_run(
+                pend["term"].iloc[0],
+                int(pend["bucket"].iloc[0]),
+                pend["doc_id"].to_numpy(np.int64),
+                pend["tf"].to_numpy(np.int64),
+                pend["doc_len"].to_numpy(np.int64),
+                out,
+            )
+            yield pd.DataFrame(out)
+
+    return parted.mapInPandas(encode_stream, schema=BLOCKS_SCHEMA)
 
 
 def decode_block_index(blocks: DataFrame) -> DataFrame:

@@ -649,6 +649,27 @@ def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("snippets_bm25", _snippets, None)
 
 
+# 24/25. multimodal plumbing (training-data pipeline): media table with
+#        opaque binary payloads + typed metadata; decode/resize/frame-sample
+#        as Arrow-batched kernels (decode backend stubbed — no codec libs in
+#        this env; schemas/partitioning/batching are real).  Deterministic
+#        synthetic media, rows-only checks.
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import decode_features, synthetic_media
+
+    return decode_features(synthetic_media(spark, 120, seed=42), feat_dim=16)
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import sample_frames, synthetic_media
+
+    return sample_frames(synthetic_media(spark, 120, seed=42), every_n=8)
+
+
+_register("media_decode_features", _media_features, None)
+_register("media_frame_sample", _media_frames, None)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry(): the full pipeline end-to-end at sf0.001 — adapter → tokenize
     UDF → stats/lexicon → compressed block index → block-max WAND top-k →

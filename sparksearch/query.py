@@ -73,8 +73,14 @@ def score_postings(postings: DataFrame, lexicon: DataFrame, qterms: DataFrame, n
     enriched tiny dim is broadcast into the postings scan — Catalyst pushes the
     ``term IN (...)`` semi-join down to the parquet scan of postings.
     """
-    q_df = qterms.join(lexicon, "term", "left").na.fill({"df": 0})
-    joined = postings.join(F.broadcast(q_df), "term")
+    # literal IN-list pushdown (see wand.py): prune the postings scan to the
+    # query vocabulary before the broadcast join
+    query_vocab = [r["term"] for r in qterms.select("term").distinct().collect()]
+    lex_slice = lexicon.select("term", *[c for c in ("df",) if c in lexicon.columns]).filter(
+        F.col("term").isin(query_vocab)
+    )
+    q_df = qterms.join(lex_slice, "term", "left").na.fill({"df": 0})
+    joined = postings.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
     partial = bm25_score(F.col("tf"), F.col("df"), F.col("doc_len"), n_docs, avg_doc_len)
     return joined.select(
         "query_id",

@@ -219,13 +219,21 @@ def wand_topk(
     analog of the lexicon offset lookup + mmap, hw3/DataLoader.cpp:316-365),
     one shuffle co-locates each query's blocks, WAND runs per group.
     """
-    q_df = qterms.join(lexicon.select("term", "df"), "term", "left").na.fill({"df": 0})
+    # literal IN-list pushdown: the query vocabulary is tiny and known
+    # driver-side, so materialize it and filter BEFORE the join — the
+    # predicate reaches the parquet/Iceberg scan (PushedFilters: In(term))
+    # and row-group stats skip everything else.  The broadcast join alone
+    # would scan the whole index (the Spark analog of the reference's
+    # lexicon-offset random access, hw3/DataLoader.cpp:316-365).
+    query_vocab = [r["term"] for r in qterms.select("term").distinct().collect()]
+    lex_slice = lexicon.select("term", "df").filter(F.col("term").isin(query_vocab))
+    q_df = qterms.join(lex_slice, "term", "left").na.fill({"df": 0})
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
         / (F.col("df").cast("double") + 0.5)
     )
     q_df = q_df.withColumn("idf", idf)
-    joined = blocks.join(F.broadcast(q_df), "term")
+    joined = blocks.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
