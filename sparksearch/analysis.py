@@ -171,6 +171,22 @@ def shingles(documents: DataFrame, n: int = 3, text_col: str = "content") -> Dat
     )
 
 
+def eval_means(results: DataFrame, group_col: str, metric_cols: list[str], sentinel: float = -1.0) -> DataFrame:
+    """Columnwise means ignoring sentinel values, per group — the
+    reference's snippet-evaluation aggregation (hw3/metrix/genExpResult.py:
+    1-38: mean of precision/recall columns skipping ``-1`` placeholders).
+
+    One skew-free groupBy; each metric contributes avg + count of
+    non-sentinel rows.
+    """
+    aggs = []
+    for c in metric_cols:
+        valid = F.when(F.col(c) != sentinel, F.col(c))
+        aggs.append(F.round(F.avg(valid), 6).alias(f"avg_{c}"))
+        aggs.append(F.count(valid).cast("long").alias(f"n_{c}"))
+    return results.groupBy(group_col).agg(*aggs)
+
+
 def doc_fingerprint(documents: DataFrame, n: int = 3, text_col: str = "content") -> DataFrame:
     """(doc_id, n_shingles, fp_min, fp_max): content fingerprint from the
     md5-60 hash of token n-gram shingles (rolling-hash analog of the

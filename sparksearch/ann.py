@@ -96,6 +96,64 @@ def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
     return int(embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    blocked: bool = False,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): embedding-cosine near-duplicate pairs with
+    cos >= threshold.
+
+    ``blocked=False``: exact O(n²) self-join — the verification baseline
+    (fine to a few 10^4 vectors).  ``blocked=True``: the scale path —
+    candidates must share an LSH bucket in >=1 of L tables (equi-join per
+    table, union, exact cosine re-check), the embedding analog of
+    MinHash-LSH banding; recall < 1 by design at the threshold boundary.
+    """
+    from functools import reduce
+
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    if not blocked:
+        cand = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        dim = _infer_dim(embeddings, vec_col)
+        emb_b = embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            *[
+                bucket_expr(vec_col, num_planes, t, dim).alias(f"bucket_{t}")
+                for t in range(num_tables)
+            ],
+        )
+        per_table = [
+            emb_b.alias("x")
+            .join(emb_b.alias("y"), F.expr(f"x.bucket_{t} = y.bucket_{t} AND x.__id < y.__id"))
+            .select(
+                F.col("x.__id").alias("vec_a"),
+                F.col("x.__v").alias("va"),
+                F.col("y.__id").alias("vec_b"),
+                F.col("y.__v").alias("vb"),
+            )
+            for t in range(num_tables)
+        ]
+        cand = reduce(lambda p, q: p.unionByName(q), per_table).dropDuplicates(
+            ["vec_a", "vec_b"]
+        )
+    sim = cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return sim.filter(F.col("cos_sim") >= threshold)
+
+
 def bucket_expr(vec_col: str, num_planes: int, table_id: int, dim: int) -> Column:
     """Sign-pattern bucket id over num_planes hyperplanes as a pure column
     expression.  Hyperplane weights are materialized driver-side as plan

@@ -179,8 +179,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(documents, num_hashes=num_hashes, n=n, text_col=text_col)
     sig = sig.withColumn("band", (F.col("sig_idx") / rows_per_band).cast("int"))
     band_hash = (
-        sig.sort("doc_id", "band", "sig_idx")
-        .groupBy("doc_id", "band")
+        sig.groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("sig_idx", "minhash"))).alias("vals"))
         .select(
             "doc_id",

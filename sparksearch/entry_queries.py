@@ -32,7 +32,7 @@ from .analysis import (
     text_quality,
     token_counts,
 )
-from .ann import cosine_topk, lsh_bucket_topk
+from .ann import cosine_dup_pairs, cosine_topk, lsh_bucket_topk
 from .blocks import build_block_index, decode_block_index, index_size_stats
 from .constants import BM25_B, BM25_K1, CONJUNCTIVE, DISJUNCTIVE, SEPARATOR_REGEX, TOP_K
 from .corpus import documents_from_testdata
@@ -599,6 +599,28 @@ _register(
 )
 
 
+# 21b. embedding-cosine near-dup pairs (exact baseline; blocked=True is the
+#      LSH scale path, recall-tested in pytest)
+COSINE_DUP_THRESHOLD = 0.4
+_register(
+    "embedding_dup_pairs",
+    lambda spark, sf_dir: cosine_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=COSINE_DUP_THRESHOLD
+    ).select("vec_a", "vec_b", micro(F.col("cos_sim")).alias("cos_micro")),
+    f"""
+WITH p AS (
+  SELECT a.vec_id vec_a, b.vec_id vec_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(round(cs * {MICRO}) AS BIGINT) cos_micro
+FROM p WHERE cs >= {COSINE_DUP_THRESHOLD}
+""",
+)
+
+
 # 22. compressed-index size accounting — compression-ratio dependent, no SQL
 #     twin; rows-only check (SURVEY §6 index-size rows)
 def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,6 +690,76 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("media_decode_features", _media_features, None)
 _register("media_frame_sample", _media_frames, None)
+
+
+# 25b. crawl-frontier scheduling (SURVEY §2 S10/P5/T7/F12 analog;
+#      hw1/code/crawler.py) — round-based distributed BFS with per-site
+#      budgets over a deterministic synthetic link graph; oracle-checked by
+#      a single-threaded Python twin in tests/test_frontier.py (the round
+#      semantics are not SQL-expressible — iterative), rows-only here.
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .frontier import crawl_frontier, synthetic_link_graph
+
+    urls, edges = synthetic_link_graph()
+    seeds = spark.createDataFrame([(urls[0],), (urls[40],)], "url string")
+    graph = spark.createDataFrame(edges, "src_url string, dst_url string")
+    return crawl_frontier(seeds, graph, rounds=3, batch_per_site=5, site_cap=12)
+
+
+_register("crawl_frontier", _frontier, None)
+
+
+# 26. evaluation-metric aggregation (SURVEY §2.4 A7;
+#     hw3/metrix/genExpResult.py:1-38): per-algorithm means of
+#     precision/recall ignoring -1 sentinels.  The eval rows are derived
+#     deterministically from doc_ids so the DuckDB oracle reproduces them.
+def _eval_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analysis import eval_means
+
+    docs = _docs(spark, sf_dir)
+    rows = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("linear"), F.lit("bm25"), F.lit("vsm")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("algo"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(-1.0))
+        .otherwise(((F.col("doc_id") * 37) % 100).cast("double") / 100.0)
+        .alias("precision"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(-1.0))
+        .otherwise(((F.col("doc_id") * 41) % 100).cast("double") / 100.0)
+        .alias("recall"),
+    )
+    out = eval_means(rows, "algo", ["precision", "recall"])
+    return out.select(
+        "algo",
+        micro(F.col("avg_precision")).alias("avg_precision_micro"),
+        "n_precision",
+        micro(F.col("avg_recall")).alias("avg_recall_micro"),
+        "n_recall",
+    )
+
+
+_register(
+    "eval_metric_means",
+    _eval_means,
+    f"""
+WITH rows AS (
+  SELECT doc_id,
+         (['linear', 'bm25', 'vsm'])[CAST(doc_id % 3 + 1 AS INT)] algo,
+         CASE WHEN doc_id % 7 = 0 THEN -1.0
+              ELSE CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0 END p,
+         CASE WHEN doc_id % 11 = 0 THEN -1.0
+              ELSE CAST((doc_id * 41) % 100 AS DOUBLE) / 100.0 END r
+  FROM documents)
+SELECT algo,
+       CAST(round(round(avg(CASE WHEN p <> -1 THEN p END), 6) * {MICRO}) AS BIGINT) avg_precision_micro,
+       CAST(count(CASE WHEN p <> -1 THEN p END) AS BIGINT) n_precision,
+       CAST(round(round(avg(CASE WHEN r <> -1 THEN r END), 6) * {MICRO}) AS BIGINT) avg_recall_micro,
+       CAST(count(CASE WHEN r <> -1 THEN r END) AS BIGINT) n_recall
+FROM rows GROUP BY algo
+""",
+)
 
 
 def flagship(spark: SparkSession) -> DataFrame:

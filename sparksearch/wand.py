@@ -205,6 +205,87 @@ def conjunctive_topk_query(cursors: list[TermCursor], n_terms: int, k: int) -> l
     return top.ranked()
 
 
+def blockmax_vectorized_topk(
+    pdf: pd.DataFrame, mode: str, n_terms: int, avg_dl: float, k: int
+) -> list[tuple[int, float]]:
+    """Vectorized block-max evaluation of one query: doc-range-at-a-time.
+
+    The bucketed index aligns blocks of ALL terms on the same doc-id ranges
+    (blocks.py bucket = doc_id // span), so evaluation walks ranges in
+    ascending doc order: a range whose summed per-term score bound cannot
+    beat the current θ is skipped WITHOUT decoding (block-max WAND's skip,
+    applied range-wise); surviving ranges decode and score with numpy
+    (np.unique doc merge + np.add.at accumulation) instead of a per-posting
+    Python loop.  Exactness argument is the same as cursor WAND's: a
+    skipped range can at best tie θ, and ties lose to incumbents, which
+    carry smaller doc_ids because ranges are visited in ascending order.
+    The reference analog is TAAT with per-chunk last_docID skipping
+    (hw3/DataLoader.cpp:773-864) — ours skips on score bounds, per
+    north_star.
+    """
+    terms = {}
+    for term, tb in pdf.groupby("term", sort=False):
+        terms[term] = (float(tb["weight"].iloc[0]), float(tb["idf"].iloc[0]), tb)
+    if mode == CONJUNCTIVE and len(terms) < n_terms:
+        return []
+
+    # per (bucket, term): score bound; per bucket: Σ over terms
+    bucket_bounds: dict[int, float] = {}
+    bucket_blocks: dict[int, list] = {}
+    bucket_term_count: dict[int, int] = {}
+    for term, (weight, idf, tb) in terms.items():
+        per_bucket_bound: dict[int, float] = {}
+        for b in tb.itertuples(index=False):
+            bd = weight * (idf * b.max_tf_norm if idf >= 0 else idf * b.min_tf_norm)
+            bk = int(b.bucket)
+            per_bucket_bound[bk] = max(per_bucket_bound.get(bk, float("-inf")), bd)
+            bucket_blocks.setdefault(bk, []).append((term, b))
+        for bk, bd in per_bucket_bound.items():
+            bucket_bounds[bk] = bucket_bounds.get(bk, 0.0) + bd
+            bucket_term_count[bk] = bucket_term_count.get(bk, 0) + 1
+
+    topk_docs = np.zeros(0, np.int64)
+    topk_scores = np.zeros(0)
+    theta = float("-inf")
+    for bk in sorted(bucket_blocks):
+        if mode == CONJUNCTIVE and bucket_term_count.get(bk, 0) < n_terms:
+            continue  # some query term has no postings in this doc range
+        if len(topk_docs) >= k and bucket_bounds[bk] <= theta:
+            continue  # range-level block-max skip: payloads never decoded
+        doc_parts, score_parts = [], []
+        for term, b in bucket_blocks[bk]:
+            weight, idf, _ = terms[term]
+            docs, tfs, dls = decode_block(
+                bytes(b.payload),
+                np.asarray(b.docid_sizes),
+                np.asarray(b.tf_sizes),
+                np.asarray(b.dl_sizes),
+            )
+            doc_parts.append(docs)
+            score_parts.append(
+                weight * idf * tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avg_dl)
+            )
+        all_docs = np.concatenate(doc_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv, cnt = np.unique(all_docs, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, all_scores)
+        if mode == CONJUNCTIVE:
+            keep = cnt == n_terms
+            uniq, sums = uniq[keep], sums[keep]
+        if len(uniq) == 0:
+            continue
+        # vectorized bounded top-k merge, tie-break (score desc, doc asc)
+        md = np.concatenate([topk_docs, uniq])
+        ms = np.concatenate([topk_scores, sums])
+        order = np.lexsort((md, -ms))[:k]
+        topk_docs, topk_scores = md[order], ms[order]
+        if len(topk_docs) >= k:
+            theta = float(topk_scores.min())
+    order = np.lexsort((topk_docs, -topk_scores))
+    return [(int(topk_docs[i]), float(topk_scores[i])) for i in order]
+
+
 def wand_topk(
     blocks: DataFrame,
     lexicon: DataFrame,
@@ -212,12 +293,23 @@ def wand_topk(
     n_docs: int,
     avg_doc_len: float,
     k: int = TOP_K,
+    evaluator: str = "vectorized",
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) over the compressed index.
 
-    One broadcast join prunes the block scan to the query terms (the Spark
-    analog of the lexicon offset lookup + mmap, hw3/DataLoader.cpp:316-365),
-    one shuffle co-locates each query's blocks, WAND runs per group.
+    One IN-list-pruned scan + broadcast join selects the query terms'
+    blocks (the Spark analog of the lexicon offset lookup + mmap,
+    hw3/DataLoader.cpp:316-365), one shuffle co-locates each query's
+    blocks, then the per-query evaluator runs in the group:
+
+    * ``evaluator="vectorized"`` (default): bucket-range-at-a-time with
+      range-level block-max skipping and numpy scoring — fast on hot
+      (stopword-class) terms where posting-at-a-time Python is the
+      bottleneck;
+    * ``evaluator="cursor"``: classic posting-at-a-time block-max WAND /
+      conjunctive next_geq cursors — maximal skipping on rare terms.
+    Both produce identical ranked output (tested against each other and
+    the exhaustive oracle).
     """
     # literal IN-list pushdown: the query vocabulary is tiny and known
     # driver-side, so materialize it and filter BEFORE the join — the
@@ -239,15 +331,18 @@ def wand_topk(
         qid = int(pdf["query_id"].iloc[0])
         mode = pdf["mode"].iloc[0]
         n_terms = int(pdf["n_terms"].iloc[0])
-        cursors = []
-        for term, tb in pdf.groupby("term", sort=False):
-            cursors.append(
-                TermCursor(tb, float(tb["weight"].iloc[0]), float(tb["idf"].iloc[0]), avg_doc_len)
-            )
-        if mode == CONJUNCTIVE:
-            ranked = conjunctive_topk_query(cursors, n_terms, k)
-        else:
-            ranked = wand_topk_query(cursors, k)
+        if evaluator == "vectorized":
+            ranked = blockmax_vectorized_topk(pdf, mode, n_terms, avg_doc_len, k)
+        else:  # "cursor": posting-at-a-time reference evaluator
+            cursors = []
+            for term, tb in pdf.groupby("term", sort=False):
+                cursors.append(
+                    TermCursor(tb, float(tb["weight"].iloc[0]), float(tb["idf"].iloc[0]), avg_doc_len)
+                )
+            if mode == CONJUNCTIVE:
+                ranked = conjunctive_topk_query(cursors, n_terms, k)
+            else:
+                ranked = wand_topk_query(cursors, k)
         return pd.DataFrame(
             {
                 "query_id": qid,

@@ -73,3 +73,22 @@ def test_index_size_stats(spark, setup):
     assert stats["n_postings"] == posts.count()
     assert stats["payload_bytes"] > 0
     assert stats["n_terms"] == posts.select("term").distinct().count()
+
+
+def test_bucketed_groups_bounded(spark, setup):
+    """Skew invariant: with bucket_span=S no (term, bucket) group — and so
+    no single encode task's working set for one list — exceeds S postings,
+    even for stopword-class terms present in every doc."""
+    docs, posts, st = setup
+    span = 64
+    blocks = build_block_index(posts, st["avg_doc_len"], bucket_span=span)
+    per_group = (
+        blocks.groupBy("term", "bucket")
+        .agg(F.sum("n_postings").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert per_group <= span
+    # hot term sanity: 'if' occurs in (nearly) every doc yet still splits
+    hot = blocks.filter(F.col("term") == "if").select("bucket").distinct().count()
+    assert hot >= 2

@@ -83,6 +83,36 @@ def test_simhash_clones_zero_hamming(docs_with_dups):
         assert pairs.get((orig, orig + 10000)) == 0
 
 
+def test_cosine_dup_pairs_blocked_recall(spark):
+    """Blocked (LSH) near-dup detection in its design regime: genuinely
+    similar vectors (clone + small noise, cos >= ~0.95).  Random-hyperplane
+    collision probability is (1 - θ/π)^planes per table, so high-sim pairs
+    collide with near-certainty across 4 tables while weak-sim pairs
+    (cos ~0.35) legitimately escape — that regime belongs to the exact
+    baseline, not to a recall assertion."""
+    import numpy as np
+
+    from sparksearch.ann import cosine_dup_pairs
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    base = rng.normal(size=(100, 32))
+    clones = base[:40] + rng.normal(scale=0.05, size=(40, 32))  # cos ≈ 0.999
+    vecs = np.vstack([base, clones]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))], "vec_id long, embedding array<float>"
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(emb, threshold=0.95).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_dup_pairs(emb, threshold=0.95, blocked=True).collect()
+    }
+    assert blocked <= exact  # blocked never invents pairs
+    assert len(exact) >= 40  # the planted clone pairs are found
+    assert len(blocked) / len(exact) >= 0.9  # high-sim recall is near-total
+
+
 def test_lsh_ann_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     probes = list(range(16))

@@ -74,3 +74,16 @@ def test_wand_single_bucket_layout(spark, ctx):
         want = oracle.topk(idx, text, mode)
         got = res.get(qid, [])
         assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_vectorized_equals_cursor_evaluator(spark, ctx):
+    """The vectorized bucket-at-a-time evaluator must produce the exact
+    ranked list of the posting-at-a-time cursor evaluator (and hence of
+    the exhaustive oracle) in both modes."""
+    docs, posts, st, lex, blocks, idx = ctx
+    qt = query_terms_df(spark, QUERIES)
+    a = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="vectorized")
+    b = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="cursor")
+    ra = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+    rb = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+    assert sorted(ra) == sorted(rb)
