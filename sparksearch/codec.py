@@ -191,6 +191,27 @@ def encode_postings(
     return blocks
 
 
+def encode_postings_hw2(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """The hw2 final-index layout: per posting, varbyte(docID) then
+    varbyte(tf), interleaved; ABSOLUTE docIDs (the delta line is commented
+    out in the reference, hw2/Lexicon.cpp:88,126), no chunks, no blocks
+    (hw2/Lexicon.cpp:82-132 WriteBitArray).  Kept for layout parity /
+    size-comparison studies; the hw3 blocked layout (encode_postings) is
+    the engine's operational format."""
+    n = len(doc_ids)
+    inter = np.empty(2 * n, np.int64)
+    inter[0::2] = np.ascontiguousarray(doc_ids, np.int64)
+    inter[1::2] = np.ascontiguousarray(tfs, np.int64)
+    buf, _ = varbyte_encode(inter)
+    return buf
+
+
+def decode_postings_hw2(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings_hw2` (hw2 read path analog)."""
+    vals = varbyte_decode(buf).astype(np.int64)
+    return vals[0::2], vals[1::2]
+
+
 def decode_block(
     payload: bytes,
     docid_sizes: np.ndarray,

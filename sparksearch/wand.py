@@ -293,7 +293,8 @@ def wand_topk(
     n_docs: int,
     avg_doc_len: float,
     k: int = TOP_K,
-    evaluator: str = "vectorized",
+    evaluator: str = "auto",
+    auto_df_fraction: float = 0.02,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) over the compressed index.
 
@@ -302,14 +303,18 @@ def wand_topk(
     hw3/DataLoader.cpp:316-365), one shuffle co-locates each query's
     blocks, then the per-query evaluator runs in the group:
 
-    * ``evaluator="vectorized"`` (default): bucket-range-at-a-time with
-      range-level block-max skipping and numpy scoring — fast on hot
-      (stopword-class) terms where posting-at-a-time Python is the
-      bottleneck;
+    * ``evaluator="vectorized"``: bucket-range-at-a-time with range-level
+      block-max skipping and numpy scoring — fast on hot (stopword-class)
+      terms where posting-at-a-time Python is the bottleneck;
     * ``evaluator="cursor"``: classic posting-at-a-time block-max WAND /
-      conjunctive next_geq cursors — maximal skipping on rare terms.
-    Both produce identical ranked output (tested against each other and
-    the exhaustive oracle).
+      conjunctive next_geq cursors — maximal skipping on rare terms;
+    * ``evaluator="auto"`` (default): per-query cost-based dispatch — the
+      df-selectivity analog of the reference's min-df seed heuristic
+      (hw3/DataLoader.cpp:396-406): if the query's total posting volume
+      exceeds ``auto_df_fraction`` of the collection, scan-and-vectorize
+      beats pointer chasing; below it, skipping wins.
+    All evaluators produce identical ranked output (tested against each
+    other and the exhaustive oracle).
     """
     # literal IN-list pushdown: the query vocabulary is tiny and known
     # driver-side, so materialize it and filter BEFORE the join — the
@@ -331,7 +336,11 @@ def wand_topk(
         qid = int(pdf["query_id"].iloc[0])
         mode = pdf["mode"].iloc[0]
         n_terms = int(pdf["n_terms"].iloc[0])
-        if evaluator == "vectorized":
+        ev = evaluator
+        if ev == "auto":
+            total_df = float(pdf.groupby("term")["df"].first().sum())
+            ev = "vectorized" if total_df >= auto_df_fraction * n_docs else "cursor"
+        if ev == "vectorized":
             ranked = blockmax_vectorized_topk(pdf, mode, n_terms, avg_doc_len, k)
         else:  # "cursor": posting-at-a-time reference evaluator
             cursors = []

@@ -143,3 +143,33 @@ def test_roundtrip_property(rows):
     dls = [r[2] for r in rows]
     _, d, t, l = _roundtrip(doc_ids.tolist(), tfs, dls)
     assert d == doc_ids.tolist() and t == tfs and l == dls
+
+
+def test_hw2_layout_roundtrip_and_size():
+    """hw2 interleaved absolute-docID varbyte layout (hw2/Lexicon.cpp:82-132):
+    round-trips exactly, and is LARGER than the hw3 delta-gap blocked layout
+    for dense sorted lists — mirroring the reference's measured 5.96 GB
+    (hw2) vs 3.93 GB (hw3) index sizes."""
+    import numpy as np
+
+    from sparksearch.codec import (
+        decode_postings_hw2,
+        encode_postings_hw2,
+        encode_postings,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 1]))
+    doc_ids = np.cumsum(rng.integers(1, 4, size=5000)).astype(np.int64) + 100_000
+    tfs = rng.integers(1, 30, size=5000).astype(np.int64)
+
+    buf = encode_postings_hw2(doc_ids, tfs)
+    d2, t2 = decode_postings_hw2(buf)
+    assert (d2 == doc_ids).all() and (t2 == tfs).all()
+
+    dls = np.full(5000, 500, np.int64)
+    hw3_payload = sum(len(b.payload) for b in encode_postings(doc_ids, tfs, dls, 500.0))
+    # hw3 payload includes a third (doc-len) stream and still beats hw2's
+    # absolute-docID stream on dense lists
+    assert len(buf) > hw3_payload * 0.6
+    hw3_docid_tf_only = hw3_payload - 5000 * 2  # dl stream is 2 bytes/posting here
+    assert len(buf) > hw3_docid_tf_only

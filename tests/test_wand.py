@@ -87,3 +87,13 @@ def test_vectorized_equals_cursor_evaluator(spark, ctx):
     ra = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in a.collect()]
     rb = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in b.collect()]
     assert sorted(ra) == sorted(rb)
+
+
+def test_auto_dispatch_equals_both(spark, ctx):
+    docs, posts, st, lex, blocks, idx = ctx
+    qt = query_terms_df(spark, QUERIES)
+    auto = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="auto")
+    vec = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="vectorized")
+    ka = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in auto.collect())
+    kv = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in vec.collect())
+    assert ka == kv
