@@ -138,6 +138,53 @@ def run_incremental_index(
         writer.start()
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    repin_avg_doc_len: bool = True,
+) -> dict:
+    """Offline compaction: decode all blocks, re-encode with uniform
+    doc-range bucketing, and optionally re-pin ``avg_doc_len`` to the
+    current collection mean (tightening block-max bounds drifted by
+    growth).  Atomic swap: new blocks land in a staging dir, then replace.
+
+    Many tiny per-micro-batch buckets → few uniform buckets: the
+    streaming-ingest analog of the reference's pairwise run merge
+    (hw2/DataLoader.cpp:239-255), done as one shuffle.
+    """
+    import shutil
+
+    from .blocks import build_block_index, decode_block_index
+
+    docs = spark.read.parquet(os.path.join(index_dir, "documents"))
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    state = _load_state(index_dir)
+
+    if repin_avg_doc_len:
+        avg_dl = float(docs.agg(F.avg("doc_len").alias("a")).collect()[0]["a"])
+    else:
+        avg_dl = float(state.get("avg_doc_len_hint") or 1.0)
+
+    postings = decode_block_index(blocks)
+    new_blocks = build_block_index(postings, avg_dl, bucket_span=bucket_span)
+    staging = os.path.join(index_dir, "blocks__compact")
+    new_blocks.write.mode("overwrite").parquet(staging)
+    n_new = spark.read.parquet(staging).count()
+
+    final = os.path.join(index_dir, "blocks")
+    old = os.path.join(index_dir, "blocks__old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(final, old)
+    os.replace(staging, final)
+    shutil.rmtree(old, ignore_errors=True)
+
+    state["avg_doc_len_hint"] = avg_dl
+    state["compactions"] = state.get("compactions", 0) + 1
+    _save_state(index_dir, state)
+    return {"n_blocks": n_new, "avg_doc_len": avg_dl}
+
+
 def read_index(spark: SparkSession, index_dir: str):
     """(documents, blocks, lexicon, stats) from an incremental index dir.
 

@@ -94,3 +94,38 @@ def test_stream_resume_no_double_count(spark, tmp_path):
     run_incremental_index(spark, flat, index_dir, available_now=True)
     _, _, _, s2 = read_index(spark, index_dir)
     assert s1["n_docs"] == s2["n_docs"] == 50
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    """Compaction (uniform re-bucketing + avgdl re-pin) must answer queries
+    identically to a from-scratch batch build over the same docs with the
+    same (re-pinned) avgdl."""
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "in3")
+    index_dir = str(tmp_path / "idx3")
+    os.makedirs(flat)
+    synthetic_corpus(spark, 200, seed=13).coalesce(2).write.parquet(f"{flat}/c0")
+    for j, f in enumerate(sorted(glob.glob(f"{flat}/c0/*.parquet"))):
+        shutil.move(f, f"{flat}/f{j}.parquet")
+    shutil.rmtree(f"{flat}/c0")
+
+    run_incremental_index(spark, flat, index_dir, bucket_span=32, available_now=True)
+    from sparksearch.streaming import compact_index
+
+    pre_blocks = spark.read.parquet(f"{index_dir}/blocks").count()
+    info = compact_index(spark, index_dir, bucket_span=128)
+    assert info["n_blocks"] <= pre_blocks
+
+    docs, blocks, lex, stats = read_index(spark, index_dir)
+    assert stats["avg_doc_len"] == info["avg_doc_len"]
+
+    posts = postings_from_documents(docs)
+    batch_blocks = build_block_index(posts, stats["avg_doc_len"], bucket_span=128)
+    batch_lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(spark, QUERIES)
+    got = wand_topk(blocks, lex, qt, stats["n_docs"], stats["avg_doc_len"]).collect()
+    want = wand_topk(batch_blocks, batch_lex, qt, stats["n_docs"], stats["avg_doc_len"]).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))

@@ -66,3 +66,29 @@ def test_regex_class_is_valid_python_java_re2():
         f"select regexp_split_to_array('if (x>0) {{ return x; }}', '{SEPARATOR_REGEX.replace(chr(39), chr(39)*2)}')"
     ).fetchone()[0]
     assert [t for t in out if t] == ["if", "x", "0", "return", "x"]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S", "Z", "Cc")
+            ),
+            max_size=400,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_regex_tokenizer_equals_literal_scan_property(text):
+        """Property: the regex tokenizer used in the Spark plans equals the
+        literal char-scan reimplementation of hw2/DataLoader.cpp:27-70 on
+        arbitrary unicode text (incl. control chars and the full separator
+        set)."""
+        from sparksearch.tokenize import tokenize_text, tokenize_text_literal
+
+        assert tokenize_text(text) == tokenize_text_literal(text)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in per brief
+    pass
