@@ -119,6 +119,35 @@ def main() -> None:
         timed("dedup_simhash", lambda: simhash(docs).count())
         timed("text_quality", lambda: text_quality(docs).count())
 
+        # snippet generation over one query batch's top-k
+        def snips():
+            from sparksearch.snippets import attach_snippets
+            from sparksearch.tokenize import tokenize_text
+
+            sub = [q for q in BENCH_QUERIES[:4]]
+            qts = query_terms_df(spark, sub)
+            res = topk(postings, lex, qts, st["n_docs"], st["avg_doc_len"])
+            dfs = {r["term"]: int(r["df"]) for r in lex.collect()}
+            qinfo = {
+                qid: (tokenize_text(t), [dfs.get(w, 0) for w in tokenize_text(t)])
+                for qid, t, _ in sub
+            }
+            return attach_snippets(
+                res, docs, qinfo, st["n_docs"], st["avg_doc_len"], algo="bm25"
+            ).count()
+
+        timed("snippets_bm25", snips)
+
+        def frontier():
+            from sparksearch.frontier import crawl_frontier, synthetic_link_graph
+
+            urls, edges = synthetic_link_graph(n_sites=10, pages_per_site=60)
+            seeds = spark.createDataFrame([(urls[0],), (urls[99],)], "url string")
+            graph = spark.createDataFrame(edges, "src_url string, dst_url string")
+            return crawl_frontier(seeds, graph, rounds=3, batch_per_site=10).count()
+
+        timed("crawl_frontier", frontier)
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         probes = [int(r["vec_id"]) for r in emb.select("vec_id").limit(16).collect()]
         timed("ann_cosine_topk", lambda: cosine_topk(emb, probes, k=10).count())
