@@ -103,6 +103,23 @@ def main() -> None:
             ).count(),
         )
 
+        # per-query latency distribution (the BASELINE metric names "BM25
+        # top-k query latency"): each query as its own job, like the
+        # reference's interactive loop (hw3/DataLoader.cpp:483-545)
+        lat = []
+        for q in BENCH_QUERIES[:12]:
+            qt1 = query_terms_df(spark, [q])
+            t0 = time.perf_counter()
+            wand_topk(blocks, lex, qt1, st["n_docs"], st["avg_doc_len"], k=TOP_K).count()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        latency = {
+            "p50_s": round(lat[len(lat) // 2], 4),
+            "p95_s": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)], 4),
+            "min_s": round(lat[0], 4),
+            "max_s": round(lat[-1], 4),
+        }
+
         # exhaustive (uncompressed) path for comparison
         postings = spark.read.parquet(f"{tmp}/postings")
         timed(
@@ -169,6 +186,7 @@ def main() -> None:
                     "n_docs": n_docs,
                     "docs_per_sec": round(n_docs / timings["index_build"], 2),
                     "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
+                    "bm25_query_latency": latency,
                     "cpus": cpus,
                 }
             )
