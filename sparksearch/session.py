@@ -42,4 +42,35 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package so executor Python workers can
+    unpickle our pandas UDFs regardless of the launch cwd/PYTHONPATH
+    (the in-process equivalent of spark-submit --py-files)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_dir = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"sparksearch_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo_dir))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered on this context
+    _SHIPPED.add(id(sc))
