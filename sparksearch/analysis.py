@@ -161,7 +161,13 @@ def shingles(documents: DataFrame, n: int = 3, text_col: str = "content") -> Dat
     shuffle (dedup joins key on shingle hash).
     """
     toks = tokens_array(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Docs with < n tokens emit NO shingles: sequence(1, size-(n-1)) would
+    # otherwise count DOWN (e.g. [1, 0] for a 2-token doc) and the window
+    # would index past the array (INVALID_ARRAY_INDEX_IN_ELEMENT_AT).  The
+    # guard mirrors the oracle's WHERE len(arr) >= n.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),

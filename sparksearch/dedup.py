@@ -14,7 +14,11 @@ Scale design notes (per operator):
   on (band, band_hash) buckets.  All hashes use the portable md5-60 family
   so every stage has an exact DuckDB oracle.
 * SimHash: 60-bit weighted-projection fingerprint; hamming candidates via
-  4-segment blocking (pigeonhole: distance <=3 ==> one 15-bit segment equal).
+  (t+1)-segment blocking — pigeonhole: hamming <= t differences cannot touch
+  all t+1 segments, so some segment is equal and the equi-join finds the
+  pair.  FULL recall at the requested threshold by construction; the
+  trade-off is selectivity (segment width 60/(t+1) bits), which is why
+  production simhash dedup keeps t small (3-8 for 60-64 bits).
 
 The reference engine has no dedup (its corpus is pre-cleaned MS MARCO);
 these operators are the training-data-pipeline extension mandated by the
@@ -31,7 +35,22 @@ from .analysis import md5_hash60, shingles
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 SIMHASH_BITS = 60
-SIMHASH_SEGMENTS = 4  # 15 bits each → hamming<=3 blocking
+
+
+def simhash_segments(max_hamming: int) -> list[tuple[int, int, int]]:
+    """[(seg_idx, bit_offset, width)]: the pigeonhole blocking layout for a
+    hamming threshold t — t+1 segments covering all 60 bits (wider segments
+    first).  t=3 gives the classic 4x15-bit layout."""
+    s = max_hamming + 1
+    if s > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    base, rem = divmod(SIMHASH_BITS, s)
+    segs, off = [], 0
+    for i in range(s):
+        w = base + (1 if i < rem else 0)
+        segs.append((i, off, w))
+        off += w
+    return segs
 
 # Affine MinHash permutation family over the Mersenne prime 2^31-1:
 # h_i(x) = (a_i * x31 + b_i) mod P with x31 = md5_60(shingle) mod P.
@@ -245,17 +264,23 @@ def simhash(documents: DataFrame, text_col: str = "content") -> DataFrame:
 def simhash_pairs(
     documents: DataFrame, max_hamming: int = 3, text_col: str = "content"
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): near-dup pairs with hamming(simhash) <= t
-    via segment blocking (pigeonhole over SIMHASH_SEGMENTS 15-bit segments —
-    an equi-join on (segment_idx, segment_value), never quadratic)."""
+    """(doc_a, doc_b, hamming): ALL pairs with hamming(simhash) <= t, found
+    via (t+1)-segment pigeonhole blocking — an equi-join on (segment_idx,
+    segment_value), never quadratic, with full recall at the threshold by
+    construction (t differing bits cannot cover t+1 segments)."""
     sh = simhash(documents, text_col=text_col)
-    seg_bits = SIMHASH_BITS // SIMHASH_SEGMENTS
-    mask = (1 << seg_bits) - 1
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.expr(f"(simhash >> {off}) & {(1 << w) - 1}").alias("seg_val"),
+            )
+            for i, off, w in simhash_segments(max_hamming)
+        ]
+    )
     segs = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_SEGMENTS - 1))).alias("seg"),
-    ).withColumn("seg_val", F.expr(f"(simhash >> (seg * {seg_bits})) & {mask}"))
+        "doc_id", "simhash", F.explode(seg_structs).alias("s")
+    ).select("doc_id", "simhash", F.col("s.seg").alias("seg"), F.col("s.seg_val").alias("seg_val"))
     a = segs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "seg", "seg_val")
     b = segs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "seg", "seg_val")
     cand = (

@@ -440,7 +440,14 @@ FROM acc GROUP BY doc_id
 """,
 )
 
-# 15. SimHash near-dup pairs via 15-bit segment blocking (pigeonhole)
+# 15. SimHash near-dup pairs via (t+1)-segment pigeonhole blocking (full
+#     recall at hamming <= t; the oracle mirrors the same segment layout,
+#     and tests/test_dedup_ann.py proves recall against brute force)
+from .dedup import simhash_segments  # noqa: E402
+
+_SEGDEF_VALUES = ", ".join(
+    f"({i}, {off}, {(1 << w) - 1})" for i, off, w in simhash_segments(SIMHASH_MAX_HAMMING)
+)
 _register(
     "simhash_pairs",
     lambda spark, sf_dir: simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING),
@@ -457,9 +464,9 @@ acc AS (SELECT doc_id, b, sum(contrib) s FROM bits GROUP BY doc_id, b),
 shash AS (SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) simhash
           FROM acc GROUP BY doc_id),
-segs AS (SELECT doc_id, simhash, CAST(sg.range AS INT) seg,
-                (simhash >> (CAST(sg.range AS INT) * 15)) & 32767 seg_val
-         FROM shash CROSS JOIN range(4) sg),
+segdef(seg, off, mask) AS (VALUES {_SEGDEF_VALUES}),
+segs AS (SELECT doc_id, simhash, seg, (simhash >> off) & mask seg_val
+         FROM shash CROSS JOIN segdef),
 cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.simhash sh_a, b.simhash sh_b
          FROM segs a JOIN segs b USING (seg, seg_val) WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) hamming
@@ -674,22 +681,96 @@ _register("snippets_bm25", _snippets, None)
 # 24/25. multimodal plumbing (training-data pipeline): media table with
 #        opaque binary payloads + typed metadata; decode/resize/frame-sample
 #        as Arrow-batched kernels (decode backend stubbed — no codec libs in
-#        this env; schemas/partitioning/batching are real).  Deterministic
-#        synthetic media, rows-only checks.
+#        this env; schemas/partitioning/batching are real).  The fake decode
+#        is an md5 chain over the payload bytes — a pure function DuckDB
+#        reproduces exactly, so BOTH entries are hard-checked end-to-end.
+MEDIA_N = 120
+MEDIA_SEED = 42
+MEDIA_EVERY_N = 8
+
+from .multimodal import AUDIO_N_VALS, FEATURE_SEGMENTS  # noqa: E402
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import decode_features, synthetic_media
 
-    return decode_features(synthetic_media(spark, 120, seed=42), feat_dim=16)
+    return decode_features(
+        synthetic_media(spark, MEDIA_N, seed=MEDIA_SEED), n_segments=FEATURE_SEGMENTS
+    )
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import sample_frames, synthetic_media
 
-    return sample_frames(synthetic_media(spark, 120, seed=42), every_n=8)
+    return sample_frames(synthetic_media(spark, MEDIA_N, seed=MEDIA_SEED), every_n=MEDIA_EVERY_N)
 
 
-_register("media_decode_features", _media_features, None)
-_register("media_frame_sample", _media_frames, None)
+def _media_sql_cte(n: int, seed: int) -> str:
+    """CTE fragment regenerating the synthetic media table (metadata +
+    payload string) — the SQL twin of multimodal.media_meta_py/payload_py."""
+
+    def h(tag: str) -> str:
+        return f"('0x' || substr(md5('{seed}:{tag}:' || media_id), 1, 15))::BIGINT"
+
+    return f"""
+m AS (SELECT CAST(range AS BIGINT) media_id FROM range({n})),
+meta AS (
+  SELECT media_id,
+    (['image','audio','video'])[CAST(media_id % 3 AS INT) + 1] kind,
+    16 + {h('w')} % 48 w,
+    16 + {h('h')} % 48 h,
+    8 + {h('n')} % 25 n_frames,
+    repeat(md5('{seed}:p:' || media_id), CAST(8 + {h('r')} % 24 AS INT)) payload
+  FROM m),
+dims AS (
+  SELECT media_id, kind, payload, n_frames,
+         CASE WHEN kind = 'audio' THEN {AUDIO_N_VALS} ELSE w * h * 3 END n_vals
+  FROM meta)"""
+
+
+_SEG = FEATURE_SEGMENTS
+_register(
+    "media_decode_features",
+    _media_features,
+    f"""
+WITH {_media_sql_cte(MEDIA_N, MEDIA_SEED)},
+blks AS (SELECT media_id, kind, n_vals, payload,
+                unnest(range((n_vals + 15) // 16)) blk FROM dims),
+vals AS (
+  SELECT media_id, kind, n_vals, CAST(blk * 16 + i.range AS BIGINT) idx,
+         ('0x' || substr(md5(payload || ':' || blk), CAST(i.range * 2 + 1 AS INT), 2))::BIGINT v
+  FROM blks, range(16) i WHERE blk * 16 + i.range < n_vals),
+allv AS (
+  SELECT media_id, kind, 0 AS dim, v FROM vals
+  UNION ALL
+  SELECT media_id, kind, CAST(1 + idx // (n_vals // {_SEG}) AS INT) dim, v
+  FROM vals WHERE idx < (n_vals // {_SEG}) * {_SEG})
+SELECT media_id, kind, CAST(dim AS INT) AS dim,
+       CAST(round(avg(v) * {MICRO}) AS BIGINT) AS value_micro
+FROM allv GROUP BY media_id, kind, dim
+""",
+)
+
+_register(
+    "media_frame_sample",
+    _media_frames,
+    f"""
+WITH {_media_sql_cte(MEDIA_N, MEDIA_SEED)},
+vids AS (SELECT media_id, payload, n_vals,
+                unnest(range((n_frames + {MEDIA_EVERY_N - 1}) // {MEDIA_EVERY_N})) fk
+         FROM dims WHERE kind = 'video'),
+fr AS (SELECT media_id, payload, n_vals, CAST(fk * {MEDIA_EVERY_N} AS INT) frame_idx FROM vids),
+blks AS (SELECT media_id, frame_idx, n_vals, payload,
+                unnest(range((n_vals + 15) // 16)) blk FROM fr),
+vals AS (
+  SELECT media_id, frame_idx,
+         ('0x' || substr(md5(payload || ':f' || frame_idx || ':' || blk),
+                         CAST(i.range * 2 + 1 AS INT), 2))::BIGINT v
+  FROM blks, range(16) i WHERE blk * 16 + i.range < n_vals)
+SELECT media_id, frame_idx, CAST(round(avg(v) * {MICRO}) AS BIGINT) AS mean_micro
+FROM vals GROUP BY media_id, frame_idx
+""",
+)
 
 
 # 25b. crawl-frontier scheduling (SURVEY §2 S10/P5/T7/F12 analog;

@@ -83,6 +83,45 @@ def test_simhash_clones_zero_hamming(docs_with_dups):
         assert pairs.get((orig, orig + 10000)) == 0
 
 
+def test_simhash_pairs_full_recall_bruteforce(spark):
+    """The (t+1)-segment pigeonhole blocking must find EVERY pair with
+    hamming <= t — including pairs whose differing bits spread across the
+    old 4x15-bit layout (which only guaranteed t <= 3).  Checked against
+    an exhaustive O(n²) Python brute force over the simhash values."""
+    from sparksearch.dedup import simhash, simhash_pairs
+
+    base = documents_from_testdata(spark, SF_DIR).filter(F.col("doc_id") < 40)
+    rows = base.select("doc_id", "content").collect()
+    variants = []
+    # progressively perturbed variants sweep pair hamming through 0..60
+    for r in rows[:15]:
+        toks = r["content"].split()
+        for v, cut in enumerate((1, 2, 4, 8, 16)):
+            t2 = list(toks)
+            for j in range(min(cut, len(t2))):
+                t2[j] = f"xv{v}q{j}"
+            variants.append((10_000 + r["doc_id"] * 10 + v, " ".join(t2)))
+    vdf = spark.createDataFrame(variants, "doc_id long, content string")
+    docs = base.select("doc_id", "content").unionByName(vdf)
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    t = 8
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= t:
+                want[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=t).collect()
+    }
+    assert got == want
+    # the test must actually exercise the 4..8 regime the old layout missed
+    assert any(4 <= h <= 8 for h in want.values()), sorted(want.values())
+
+
 def test_cosine_dup_pairs_blocked_recall(spark):
     """Blocked (LSH) near-dup detection in its design regime: genuinely
     similar vectors (clone + small noise, cos >= ~0.95).  Random-hyperplane

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schema, determinism, metadata-pruned decode paths.
-The decode kernels are deterministic fakes (no codec libs in this env);
-the Spark-side shapes are real."""
+The decode kernels are deterministic md5-chain fakes (no codec libs in this
+env); the Spark-side shapes are real and the kernels have exact DuckDB twins
+(checked here and by the driver's media_* oracle entries)."""
 
 from __future__ import annotations
 
@@ -12,6 +13,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sparksearch.multimodal import (  # noqa: E402
+    FEATURE_SEGMENTS,
     decode_features,
     resize_image,
     sample_frames,
@@ -32,15 +34,46 @@ def test_media_table_schema_and_determinism(spark):
 
 def test_decode_features_all_kinds(spark):
     media = synthetic_media(spark, 30, seed=2)
-    out = decode_features(media, feat_dim=16).collect()
-    assert len(out) == 30
+    out = decode_features(media).collect()
+    # one global-mean row + FEATURE_SEGMENTS segment rows per media item
+    assert len(out) == 30 * (FEATURE_SEGMENTS + 1)
+    per_media: dict[int, set[int]] = {}
     for r in out:
-        assert len(r["feature"]) == 16
+        per_media.setdefault(r["media_id"], set()).add(r["dim"])
+        assert 0 <= r["value_micro"] <= 255_000_000
+    assert all(dims == set(range(FEATURE_SEGMENTS + 1)) for dims in per_media.values())
     # deterministic across runs
-    out2 = decode_features(synthetic_media(spark, 30, seed=2), feat_dim=16).collect()
-    a = {r["media_id"]: r["feature"] for r in out}
-    b = {r["media_id"]: r["feature"] for r in out2}
+    out2 = decode_features(synthetic_media(spark, 30, seed=2)).collect()
+    a = {(r["media_id"], r["dim"]): r["value_micro"] for r in out}
+    b = {(r["media_id"], r["dim"]): r["value_micro"] for r in out2}
     assert a == b
+
+
+def test_media_duckdb_parity(spark):
+    """The full Spark pipeline (synthetic media -> mapInPandas decode) must
+    equal the pure-SQL twin that regenerates payloads and runs the md5-chain
+    decode in DuckDB — the same check the driver harness performs."""
+    import duckdb
+
+    from sparksearch.entry_queries import ORACLE_SQL, SPARK_QUERIES
+
+    for name, keycols in [
+        ("media_decode_features", ("media_id", "dim")),
+        ("media_frame_sample", ("media_id", "frame_idx")),
+    ]:
+        got = {
+            tuple(r[k] for k in keycols): tuple(r)
+            for r in SPARK_QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        }
+        want = {}
+        cur = duckdb.connect().execute(ORACLE_SQL[name])
+        cols = [d[0] for d in cur.description]
+        for row in cur.fetchall():
+            d = dict(zip(cols, row))
+            want[tuple(d[k] for k in keycols)] = tuple(d[c] for c in cols)
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k] == want[k], (name, k, got[k], want[k])
 
 
 def test_resize_image_only_images(spark):
