@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
-from sparksearch.entry_queries import ORACLE_SQL, SPARK_QUERIES, flagship  # noqa: E402
+from sparksearch.entry_queries import (  # noqa: E402
+    LAZY_ORACLE_SQL,
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    flagship,
+)
 
 _SHIPPED: set[int] = set()
 
@@ -75,4 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    for name, gen in LAZY_ORACLE_SQL.items():
+        # fixture-backed oracles: a single-threaded Python twin computes the
+        # expected rows (at the $SPARK_GRAFT_TESTDATA sf, default sf0.01 —
+        # the driver's correctness scale) and emits a typed VALUES table
+        out[name] = gen()
+    return out

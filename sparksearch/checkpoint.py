@@ -43,6 +43,20 @@ def _fingerprint(obj) -> str:
     return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def dataframe_fingerprint(df: DataFrame, columns: list[str] | None = None) -> str:
+    """Order-independent content fingerprint of a DataFrame: row count +
+    bit-XOR of a 60-bit hash of the selected columns (one columnar scan,
+    partitioning-independent).  Used as the ROOT stage's resume key so a
+    rerun with different input data never resumes a stale snapshot; pick a
+    cheap column subset (e.g. doc_id + content_sha256) at scale."""
+    from .analysis import md5_hash60
+
+    cols = columns or df.columns
+    h = md5_hash60(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    row = df.agg(F.count(F.lit(1)).alias("n"), F.bit_xor(h).alias("x")).collect()[0]
+    return f"{int(row['n'])}:{int(row['x'] or 0):x}"
+
+
 @dataclass
 class StageResult:
     stage: str
@@ -109,8 +123,15 @@ class CheckpointManager:
         df.write.mode("overwrite").parquet(data_path)
         persisted = self.spark.read.parquet(data_path)
 
-        # per-partition lineage metrics over the *persisted* snapshot
-        aggs = [F.count(F.lit(1)).alias("rows")]
+        # per-partition lineage metrics over the *persisted* snapshot, plus
+        # a per-partition content hash (same scan — no extra pass): the
+        # XOR-combined data_hash goes into the manifest fingerprint so an
+        # upstream rebuild that happens to preserve row_count still
+        # invalidates downstream stages
+        from .analysis import md5_hash60
+
+        row_hash = md5_hash60(F.to_json(F.struct(*[F.col(c) for c in persisted.columns])))
+        aggs = [F.count(F.lit(1)).alias("rows"), F.bit_xor(row_hash).alias("data_hash")]
         for name, expr in (metric_cols or {}).items():
             aggs.append(F.expr(expr).alias(name))
         per_part = (
@@ -121,6 +142,9 @@ class CheckpointManager:
         )
         partitions = [r.asDict() for r in per_part]
         row_count = int(sum(p["rows"] for p in partitions))
+        data_hash = 0
+        for p in partitions:
+            data_hash ^= int(p["data_hash"] or 0)
 
         manifest = {
             "stage": stage,
@@ -128,13 +152,14 @@ class CheckpointManager:
             "lineage": lineage,
             "params": params or {},
             "row_count": row_count,
+            "data_hash": f"{data_hash:x}",
             "n_partitions": len(partitions),
             "partitions": partitions,
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         manifest["fingerprint"] = _fingerprint(
-            {k: manifest[k] for k in ("stage", "lineage_key", "row_count")}
+            {k: manifest[k] for k in ("stage", "lineage_key", "row_count", "data_hash")}
         )
         # append-only snapshot history (Iceberg metadata-chain analog)
         prev = existing.get("snapshots", []) if existing else []
@@ -165,9 +190,14 @@ def build_index_checkpointed(
     cp = CheckpointManager(spark, base_dir)
     out: dict[str, StageResult] = {}
 
+    # root stage resume key = content fingerprint of the INPUT (cheap column
+    # subset), so rerunning with different input data rebuilds instead of
+    # silently resuming the stale snapshot
+    in_fp = dataframe_fingerprint(documents, ["doc_id", "content_sha256"])
     out["documents"] = cp.run_stage(
         "documents",
         lambda: documents,
+        params={"input_fingerprint": in_fp},
         metric_cols={"docs_indexed": "count(*)", "chars": "sum(doc_len)"},
     )
     docs = out["documents"].df

@@ -206,11 +206,18 @@ def _spark_topk_wand(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
+# name -> zero-arg callable producing the SQL; used for fixture-backed
+# oracles (VALUES tables generated by single-threaded Python twins, see
+# fixture_oracles.py) so the expensive generation runs only when the
+# harness asks for oracle_sql().
+LAZY_ORACLE_SQL: dict = {}
 
 
-def _register(name: str, fn, sql: str | None) -> None:
+def _register(name: str, fn, sql) -> None:
     SPARK_QUERIES[name] = fn
-    if sql is not None:
+    if callable(sql):
+        LAZY_ORACLE_SQL[name] = sql
+    elif sql is not None:
         ORACLE_SQL[name] = sql
 
 
@@ -590,46 +597,103 @@ SELECT probe_id, CAST(rank AS INT) rank, vec_id, cos_micro FROM (
 """,
 )
 
-# 21. LSH-bucketed approximate ANN — approximate by design: rows-only check;
-#     recall vs the exact baseline is asserted in tests/test_ann.py
+# 21/21b. LSH-bucketed ANN + embedding near-dup pairs.  Both register the
+#     BLOCKED plan (equi-joins on hyperplane sign buckets — never a cartesian
+#     join; the exact O(n²) variants remain the pytest recall baselines).
+#     The hyperplane family is md5-derived (ann.hyperplane_weight_py), so the
+#     DuckDB oracle inlines the same weights as literals and mirrors the
+#     candidate generation EXACTLY — bucket-sign parity Spark↔DuckDB is
+#     bit-stable (verified at sf0.001/sf0.01: 0 sign mismatches over all
+#     500 vectors × 24 planes).
+ANN_PLANES = 6
+ANN_TABLES = 4
+ANN_RADIUS = 1
+EMB_DIM = 64  # driver testdata embeddings dim (TESTDATA.md contract)
+COSINE_DUP_THRESHOLD = 0.4
+
+from .ann import hyperplane_weight_py  # noqa: E402
+
+
+def _bucket_sql(vec_expr: str, table_id: int, num_planes: int = ANN_PLANES, dim: int = EMB_DIM) -> str:
+    terms = []
+    for p in range(num_planes):
+        w = ", ".join(repr(hyperplane_weight_py(table_id * num_planes + p, d)) for d in range(dim))
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, [{w}]) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _bucket_cols_sql() -> str:
+    return ", ".join(f"({_bucket_sql('v', t)}) AS b{t}" for t in range(ANN_TABLES))
+
+
+_FLIP_MASKS = [0] + [1 << p for p in range(ANN_PLANES)]  # probe_radius=1 multi-probe
+_FLIPS_SQL = ", ".join(str(m) for m in _FLIP_MASKS)
+
 _register(
     "ann_lsh_topk",
     lambda spark, sf_dir: lsh_bucket_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         ANN_PROBES,
         k=ANN_K,
-        num_planes=6,
-        num_tables=4,
-        probe_radius=1,
+        num_planes=ANN_PLANES,
+        num_tables=ANN_TABLES,
+        probe_radius=ANN_RADIUS,
     ).select("probe_id", "rank", "vec_id", micro(F.col("cos_sim")).alias("cos_micro")),
-    None,
+    f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] v, {_bucket_cols_sql()} FROM embeddings),
+probes AS (SELECT vec_id probe_id, v pv,
+                  {', '.join(f'b{t} pb{t}' for t in range(ANN_TABLES))}
+           FROM b WHERE vec_id IN ({_ANN_IDS})),
+cand AS (
+  SELECT DISTINCT p.probe_id, e.vec_id, p.pv, e.v
+  FROM probes p JOIN b e ON e.vec_id <> p.probe_id AND (
+    {' OR '.join(f'xor(e.b{t}, p.pb{t}) IN ({_FLIPS_SQL})' for t in range(ANN_TABLES))})),
+sim AS (
+  SELECT probe_id, vec_id,
+         round(list_dot_product(v, pv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6) cs
+  FROM cand)
+SELECT probe_id, CAST(rank AS INT) rank, vec_id, cos_micro FROM (
+  SELECT probe_id, vec_id, CAST(round(cs * {MICRO}) AS BIGINT) cos_micro,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY CAST(round(cs * {MICRO}) AS BIGINT) DESC, vec_id ASC) rank
+  FROM sim
+) WHERE rank <= {ANN_K}
+""",
 )
 
-
-# 21b. embedding-cosine near-dup pairs (exact baseline; blocked=True is the
-#      LSH scale path, recall-tested in pytest)
-COSINE_DUP_THRESHOLD = 0.4
 _register(
     "embedding_dup_pairs",
     lambda spark, sf_dir: cosine_dup_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=COSINE_DUP_THRESHOLD
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=COSINE_DUP_THRESHOLD,
+        blocked=True,
+        num_planes=ANN_PLANES,
+        num_tables=ANN_TABLES,
     ).select("vec_a", "vec_b", micro(F.col("cos_sim")).alias("cos_micro")),
     f"""
-WITH p AS (
-  SELECT a.vec_id vec_a, b.vec_id vec_b,
-         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) cs
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-)
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] v, {_bucket_cols_sql()} FROM embeddings),
+cand AS (
+  SELECT a.vec_id vec_a, x.vec_id vec_b, a.v va, x.v vb
+  FROM b a JOIN b x ON a.vec_id < x.vec_id AND (
+    {' OR '.join(f'a.b{t} = x.b{t}' for t in range(ANN_TABLES))})),
+sim AS (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) cs
+  FROM cand)
 SELECT vec_a, vec_b, CAST(round(cs * {MICRO}) AS BIGINT) cos_micro
-FROM p WHERE cs >= {COSINE_DUP_THRESHOLD}
+FROM sim WHERE cs >= {COSINE_DUP_THRESHOLD}
 """,
 )
 
 
-# 22. compressed-index size accounting — compression-ratio dependent, no SQL
-#     twin; rows-only check (SURVEY §6 index-size rows)
+# 22. compressed-index size accounting (SURVEY §6 index-size rows) — the
+#     oracle is a single-process term-at-a-time pass over the pure-Python
+#     postings (fixture VALUES table): checks the distributed shuffle+encode
+#     pipeline against a single-node equivalent.
 def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     st = collection_stats(docs)
@@ -641,12 +705,23 @@ def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("index_stats", _index_stats, None)
+def _index_stats_oracle() -> str:
+    from .fixture_oracles import index_stats_fixture_sql
+
+    return index_stats_fixture_sql()
+
+
+_register("index_stats", _index_stats, _index_stats_oracle)
 
 
 # 23. snippet generation over top-k results (SURVEY §2.7 F9/F10) — string
-#     processing, no SQL twin; rows-only check (kernels unit-tested against
-#     hand-computed reference semantics in tests/test_snippets.py)
+#     processing with no relational SQL twin; the oracle is a fixture VALUES
+#     table generated by the pure-Python engine + snippet kernels
+#     (fixture_oracles.snippets_fixture_sql).  Output carries the snippet as
+#     an md5 so canonicalization never chokes on embedded newlines/quotes.
+SNIPPET_QSET = [q for q in QUERY_SET if q[2] == DISJUNCTIVE][:3]
+
+
 def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .snippets import attach_snippets
     from .tokenize import tokenize_text
@@ -655,27 +730,38 @@ def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = collection_stats(docs)
     postings = postings_from_documents(docs)
     lex = lexicon(postings)
-    qset = [q for q in QUERY_SET if q[2] == DISJUNCTIVE][:3]
-    qt = query_terms_df(spark, qset)
+    query_vocab = sorted({w for _, text, _ in SNIPPET_QSET for w in tokenize_text(text)})
     res = _spark_topk_exhaustive(spark, sf_dir, DISJUNCTIVE).filter(
-        F.col("query_id").isin([q[0] for q in qset])
+        F.col("query_id").isin([q[0] for q in SNIPPET_QSET])
     )
-    dfs = {r["term"]: int(r["df"]) for r in lex.collect()}
+    # IN-list slice BEFORE collect: only the ~|query vocab| lexicon rows
+    # reach the driver (at scale the full lexicon is the vocabulary —
+    # 10^7..10^9 rows — and must never be collected wholesale)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in lex.filter(F.col("term").isin(query_vocab)).collect()
+    }
     qinfo = {
         qid: (tokenize_text(text), [dfs.get(w, 0) for w in tokenize_text(text)])
-        for qid, text, _ in qset
+        for qid, text, _ in SNIPPET_QSET
     }
-    return attach_snippets(
-        res.withColumnRenamed("score_micro", "score"),
-        docs,
-        qinfo,
-        st["n_docs"],
-        st["avg_doc_len"],
-        algo="bm25",
+    out = attach_snippets(res, docs, qinfo, st["n_docs"], st["avg_doc_len"], algo="bm25")
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.md5(F.col("snippet")).alias("snippet_md5"),
+        micro(F.col("snippet_cover")).alias("cover_micro"),
     )
 
 
-_register("snippets_bm25", _snippets, None)
+def _snippets_oracle() -> str:
+    from .fixture_oracles import snippets_fixture_sql
+
+    return snippets_fixture_sql(SNIPPET_QSET, k=TOP_K, algo="bm25")
+
+
+_register("snippets_bm25", _snippets, _snippets_oracle)
 
 
 # 24/25. multimodal plumbing (training-data pipeline): media table with
@@ -775,19 +861,29 @@ FROM vals GROUP BY media_id, frame_idx
 
 # 25b. crawl-frontier scheduling (SURVEY §2 S10/P5/T7/F12 analog;
 #      hw1/code/crawler.py) — round-based distributed BFS with per-site
-#      budgets over a deterministic synthetic link graph; oracle-checked by
-#      a single-threaded Python twin in tests/test_frontier.py (the round
-#      semantics are not SQL-expressible — iterative), rows-only here.
+#      budgets over a deterministic synthetic link graph.  The round
+#      semantics are iterative (not SQL-expressible), so the oracle is a
+#      fixture VALUES table from the sequential twin frontier.oracle_crawl.
+FRONTIER_SEEDS = [0, 40]
+FRONTIER_PARAMS = dict(rounds=3, batch_per_site=5, site_cap=12)
+
+
 def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .frontier import crawl_frontier, synthetic_link_graph
 
     urls, edges = synthetic_link_graph()
-    seeds = spark.createDataFrame([(urls[0],), (urls[40],)], "url string")
+    seeds = spark.createDataFrame([(urls[i],) for i in FRONTIER_SEEDS], "url string")
     graph = spark.createDataFrame(edges, "src_url string, dst_url string")
-    return crawl_frontier(seeds, graph, rounds=3, batch_per_site=5, site_cap=12)
+    return crawl_frontier(seeds, graph, **FRONTIER_PARAMS)
 
 
-_register("crawl_frontier", _frontier, None)
+def _frontier_oracle() -> str:
+    from .fixture_oracles import frontier_fixture_sql
+
+    return frontier_fixture_sql(FRONTIER_SEEDS, **FRONTIER_PARAMS)
+
+
+_register("crawl_frontier", _frontier, _frontier_oracle)
 
 
 # 26. evaluation-metric aggregation (SURVEY §2.4 A7;

@@ -105,6 +105,70 @@ def link_scores(frontier: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def oracle_crawl(
+    seeds: list[str],
+    edges: list[tuple[str, str]],
+    rounds: int,
+    batch_per_site: int,
+    site_cap: int,
+) -> dict[str, int]:
+    """Single-threaded twin of :func:`crawl_frontier` — same round-based
+    semantics, plain Python.  Used as the correctness oracle (the iterative
+    rounds are not SQL-expressible): tests/test_frontier.py asserts exact
+    equality, and entry_queries turns its output into a VALUES-table DuckDB
+    oracle for the driver harness."""
+    import re
+    from collections import Counter, defaultdict
+
+    graph = defaultdict(list)
+    for s, d in edges:
+        graph[s].append(d)
+
+    def site(u: str) -> str:
+        m = re.match(r"^https?://([^/]+)", u)
+        return m.group(1) if m else ""
+
+    def ok(u: str) -> bool:
+        if not re.match(r"^https?://", u):
+            return False
+        m = re.search(r"\.([A-Za-z0-9]+)$", u)
+        return not (m and m.group(1).lower() in BLACKLIST_EXT)
+
+    crawled = {u: 0 for u in seeds}
+    last = list(seeds)
+    for r in range(1, rounds + 1):
+        bag: Counter = Counter()
+        for u in last:
+            for d in graph.get(u, []):
+                if ok(d) and d not in crawled:
+                    bag[d] += 1
+        if not bag:
+            break
+        total = sum(bag.values())
+        site_urls: defaultdict = defaultdict(float)
+        n_domain: defaultdict = defaultdict(int)
+        for u, n in bag.items():
+            site_urls[site(u)] += n
+            n_domain[site(u)] += 1
+        scored = {
+            u: n / total + site_urls[site(u)] / n_domain[site(u)] for u, n in bag.items()
+        }
+        by_site: defaultdict = defaultdict(list)
+        for u, sc in scored.items():
+            by_site[site(u)].append((u, sc))
+        used = Counter(site(u) for u in crawled)
+        picked = []
+        for st, items in by_site.items():
+            items.sort(key=lambda t: (-t[1], t[0]))
+            batch = items[:batch_per_site]
+            room = max(site_cap - used[st], 0)
+            picked.extend(u for u, _ in batch[:room])
+        for u in picked:
+            crawled[u] = r
+        last = picked
+    return crawled
+
+
 def crawl_frontier(
     seeds: DataFrame,
     link_graph: DataFrame,

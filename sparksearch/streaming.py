@@ -6,15 +6,29 @@ arriving corpus (the normal shape of a web-scale ingest pipeline).
 
 Key design property that makes incremental indexing APPEND-ONLY: the
 blocked index is keyed by (term, bucket) where ``bucket`` is a doc-id
-range (blocks.py).  Every micro-batch is assigned a fresh, strictly
-increasing doc-id range (offset persisted in the checkpoint state), so a
-batch's buckets are disjoint from — and sort after — all existing
-buckets.  Encoding a micro-batch therefore never rewrites existing
-blocks: it appends new (term, bucket) rows, and the query path (which
-orders by (bucket, block_id) per term and never assumes bucket alignment)
-reads old + new blocks unchanged.  Compaction (re-encoding many small
-buckets into big ones) is an optional offline rewrite, not a correctness
-requirement.
+range (blocks.py).  Every micro-batch is assigned a fresh doc-id offset
+ROUNDED UP to the next multiple of ``bucket_span`` (persisted in the
+stream state), so each batch's buckets are strictly disjoint from — and
+sort after — all existing buckets.  The alignment matters: two batches
+sharing a (term, bucket) would both restart block_id at 0, and the query
+path's (bucket, block_id) ordering would interleave their doc ranges,
+breaking the monotone ``block_last`` sequence the WAND cursors binary-
+search over.  The cost is doc-id GAPS at batch boundaries (ids are unique
+and ascending but not dense across batches — documented deviation from
+the batch builder's dense ids; BM25 and the query path never require
+density).  Encoding a micro-batch therefore never rewrites existing
+blocks, and the query path reads old + new blocks unchanged.  Compaction
+(re-encoding many small buckets into big ones, re-densifying ids is NOT
+needed) is an optional offline rewrite, not a correctness requirement.
+
+Exactly-once: each batch lands in its own subdirectory
+(``documents/batch_<id>``, ``blocks/batch_<id>``) via write-to-staging +
+atomic rename, with the blocks rename LAST as the commit point.  On
+foreachBatch redelivery (crash anywhere before state save), a committed
+batch is detected by its blocks dir and only the stream state is
+repaired from the batch's ``_meta.json``; a half-committed batch (docs
+renamed, blocks missing) is discarded and rewritten.  Readers list both
+layouts with ``recursiveFileLookup``.
 
 Collection stats (N, avgdl) and the lexicon are maintained by cheap
 aggregations over the appended tables at read time — both are one
@@ -54,11 +68,118 @@ def _load_state(index_dir: str) -> dict:
     return {"next_doc_id": 0, "batches": []}
 
 
+def _read_parts(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table stored as per-batch subdirs and/or flat part files
+    (post-compaction) — recursive listing, no hive partition inference."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def _save_state(index_dir: str, state: dict) -> None:
     tmp = _state_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1)
     os.replace(tmp, _state_path(index_dir))
+
+
+def _batch_dirs(index_dir: str, batch_id: int) -> tuple[str, str]:
+    return (
+        os.path.join(index_dir, "documents", f"batch_{batch_id}"),
+        os.path.join(index_dir, "blocks", f"batch_{batch_id}"),
+    )
+
+
+def _repair_state_from_commit(index_dir: str, state: dict, batch_id: int, docs_dir: str) -> None:
+    """Blocks dir exists but the state file missed the batch (crash between
+    the commit rename and the state save): restore offset/n from the
+    batch's _meta.json."""
+    with open(os.path.join(docs_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    state["next_doc_id"] = max(int(state["next_doc_id"]), meta["offset"] + meta["n_docs"])
+    state["batches"].append(
+        {"batch_id": batch_id, "n_docs": meta["n_docs"], "offset": meta["offset"]}
+    )
+    if meta.get("avg_doc_len_hint") and not state.get("avg_doc_len_hint"):
+        state["avg_doc_len_hint"] = meta["avg_doc_len_hint"]
+    _save_state(index_dir, state)
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    avg_doc_len_hint: float | None = None,
+) -> None:
+    """Index one micro-batch exactly-once (idempotent under foreachBatch
+    redelivery).  Commit protocol: stage both tables, atomic-rename docs
+    then blocks (blocks = commit point), then record in the stream state;
+    every crash window is covered by the replay checks at the top."""
+    import shutil
+
+    if batch_df.isEmpty():
+        return
+    state = _load_state(index_dir)
+    if str(batch_id) in {str(b["batch_id"]) for b in state["batches"]}:
+        return  # replay of a fully recorded batch
+    docs_dir, blocks_dir = _batch_dirs(index_dir, batch_id)
+    if os.path.exists(blocks_dir):
+        # committed but not recorded (crash before state save) — repair
+        _repair_state_from_commit(index_dir, state, batch_id, docs_dir)
+        return
+    # half-committed leftovers from a crashed attempt: discard and redo
+    shutil.rmtree(docs_dir, ignore_errors=True)
+
+    # doc-id offset aligned UP to a bucket boundary: batch buckets are
+    # disjoint by construction (ids gap at batch boundaries — see module
+    # docstring)
+    offset = -(-int(state["next_doc_id"]) // bucket_span) * bucket_span
+
+    from .corpus import assign_dense_ids
+
+    with_ids = assign_dense_ids(batch_df, ["repo", "path"])
+    docs = with_ids.select(
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.length("content").cast("long").alias("doc_len"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ).localCheckpoint(eager=True)
+    n = docs.count()
+
+    hint = state.get("avg_doc_len_hint") or avg_doc_len_hint
+    if hint is None:
+        hint = float(docs.agg(F.avg("doc_len").alias("a")).collect()[0]["a"] or 1.0)
+    state["avg_doc_len_hint"] = float(hint)
+
+    postings = postings_from_documents(docs)
+    blocks = build_block_index(postings, float(hint), bucket_span=bucket_span)
+
+    docs_stage, blocks_stage = docs_dir + "__stage", blocks_dir + "__stage"
+    shutil.rmtree(docs_stage, ignore_errors=True)
+    shutil.rmtree(blocks_stage, ignore_errors=True)
+    docs.write.mode("overwrite").parquet(docs_stage)
+    blocks.write.mode("overwrite").parquet(blocks_stage)
+    with open(os.path.join(docs_stage, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "offset": offset,
+                "n_docs": n,
+                "batch_id": batch_id,
+                "avg_doc_len_hint": float(hint),
+            },
+            f,
+        )
+    os.makedirs(os.path.dirname(docs_dir), exist_ok=True)
+    os.makedirs(os.path.dirname(blocks_dir), exist_ok=True)
+    os.replace(docs_stage, docs_dir)
+    os.replace(blocks_stage, blocks_dir)  # <- commit point
+
+    state["next_doc_id"] = offset + n
+    state["batches"].append({"batch_id": batch_id, "n_docs": n, "offset": offset})
+    _save_state(index_dir, state)
 
 
 def run_incremental_index(
@@ -68,6 +189,7 @@ def run_incremental_index(
     bucket_span: int = DEFAULT_BUCKET_SPAN,
     available_now: bool = True,
     avg_doc_len_hint: float | None = None,
+    max_files_per_trigger: int = 4,
 ) -> None:
     """Consume corpus parquet files arriving in ``input_dir``
     (repo, path, commit, lang, content) and maintain an appendable blocked
@@ -84,47 +206,11 @@ def run_incremental_index(
     corpus_schema = "repo string, path string, commit string, lang string, content string"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        state = _load_state(index_dir)
-        if str(batch_id) in {str(b["batch_id"]) for b in state["batches"]}:
-            return  # exactly-once replay guard (foreachBatch may redeliver)
-        offset = int(state["next_doc_id"])
-
-        from .corpus import assign_dense_ids
-
-        with_ids = assign_dense_ids(batch_df, ["repo", "path"])
-        docs = with_ids.select(
-            (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            "content",
-            F.length("content").cast("long").alias("doc_len"),
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-        ).localCheckpoint(eager=True)
-        n = docs.count()
-
-        hint = state.get("avg_doc_len_hint") or avg_doc_len_hint
-        if hint is None:
-            hint = float(
-                docs.agg(F.avg("doc_len").alias("a")).collect()[0]["a"] or 1.0
-            )
-        state["avg_doc_len_hint"] = float(hint)
-
-        postings = postings_from_documents(docs)
-        blocks = build_block_index(postings, float(hint), bucket_span=bucket_span)
-        docs.write.mode("append").parquet(os.path.join(index_dir, "documents"))
-        blocks.write.mode("append").parquet(os.path.join(index_dir, "blocks"))
-
-        state["next_doc_id"] = offset + n
-        state["batches"].append({"batch_id": batch_id, "n_docs": n, "offset": offset})
-        _save_state(index_dir, state)
+        ingest_batch(batch_df, batch_id, index_dir, bucket_span, avg_doc_len_hint)
 
     reader = (
         spark.readStream.schema(corpus_schema)
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
     writer = (
@@ -157,8 +243,8 @@ def compact_index(
 
     from .blocks import build_block_index, decode_block_index
 
-    docs = spark.read.parquet(os.path.join(index_dir, "documents"))
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    docs = _read_parts(spark, os.path.join(index_dir, "documents"))
+    blocks = _read_parts(spark, os.path.join(index_dir, "blocks"))
     state = _load_state(index_dir)
 
     if repin_avg_doc_len:
@@ -197,8 +283,8 @@ def read_index(spark: SparkSession, index_dir: str):
     returned as ``stats["avg_doc_len_actual"]`` for monitoring/periodic
     re-pin + compaction.
     """
-    docs = spark.read.parquet(os.path.join(index_dir, "documents"))
-    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    docs = _read_parts(spark, os.path.join(index_dir, "documents"))
+    blocks = _read_parts(spark, os.path.join(index_dir, "blocks"))
     lex = blocks.groupBy("term").agg(F.sum("n_postings").cast("long").alias("df"))
     row = docs.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avg_doc_len")

@@ -47,15 +47,45 @@ def test_param_change_invalidates(spark, tmp_path):
     assert out2["blocks"].manifest["params"]["bucket_span"] == 64
 
 
+def test_input_change_invalidates_root_and_downstream(spark, tmp_path):
+    """Rerunning with DIFFERENT input data must rebuild from the root —
+    even when the row count happens to be unchanged (the data_hash in the
+    manifest fingerprint invalidates downstream stages)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "ckpt4")
+    docs = documents_from_testdata(spark, SF_DIR)
+    out1 = build_index_checkpointed(spark, docs, base)
+    assert not any(r.resumed for r in out1.values())
+
+    # same row count, different content
+    docs2 = docs.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" changed"))
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256)).withColumn(
+        "doc_len", F.length("content").cast("long")
+    )
+    out2 = build_index_checkpointed(spark, docs2, base)
+    assert not out2["documents"].resumed  # root input fingerprint changed
+    assert not out2["postings"].resumed   # data_hash chain invalidated
+    assert not out2["blocks"].resumed
+    assert out2["documents"].manifest["row_count"] == out1["documents"].manifest["row_count"]
+    assert out2["documents"].manifest["data_hash"] != out1["documents"].manifest["data_hash"]
+
+
 def test_partial_crash_resume(spark, tmp_path):
     """Simulate a crash between stages: only stages with committed
     manifests resume; the rest rebuild."""
     base = str(tmp_path / "ckpt3")
     docs = documents_from_testdata(spark, SF_DIR)
     cp = CheckpointManager(spark, base)
-    from sparksearch.tokenize import postings_from_documents
+    from sparksearch.checkpoint import dataframe_fingerprint
 
-    cp.run_stage("documents", lambda: docs, metric_cols={"docs_indexed": "count(*)"})
+    cp.run_stage(
+        "documents",
+        lambda: docs,
+        params={"input_fingerprint": dataframe_fingerprint(docs, ["doc_id", "content_sha256"])},
+        metric_cols={"docs_indexed": "count(*)"},
+    )
     # "crash" here — postings never ran.  New driver:
     out = build_index_checkpointed(spark, docs, base)
     assert out["documents"].resumed

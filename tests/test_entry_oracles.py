@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+# default to sf0.01: the EXACT scale the driver's correctness gate runs at
+# (fixture-backed oracles are generated for this sf — see fixture_oracles)
+SF_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.01")
+os.environ.setdefault("SPARK_GRAFT_TESTDATA", SF_DIR)
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()

@@ -5,70 +5,18 @@ with blacklist / visited-set / per-site cap / link scoring)."""
 from __future__ import annotations
 
 import os
-import re
 import sys
-from collections import Counter, defaultdict
 
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sparksearch.frontier import (  # noqa: E402
-    BLACKLIST_EXT,
     crawl_frontier,
     filter_links,
+    oracle_crawl,
     synthetic_link_graph as make_graph,
 )
-
-
-def oracle_crawl(seeds, edges, rounds, batch_per_site, site_cap):
-    graph = defaultdict(list)
-    for s, d in edges:
-        graph[s].append(d)
-
-    def site(u):
-        m = re.match(r"^https?://([^/]+)", u)
-        return m.group(1) if m else ""
-
-    def ok(u):
-        if not re.match(r"^https?://", u):
-            return False
-        m = re.search(r"\.([A-Za-z0-9]+)$", u)
-        return not (m and m.group(1).lower() in BLACKLIST_EXT)
-
-    crawled = {u: 0 for u in seeds}
-    last = list(seeds)
-    for r in range(1, rounds + 1):
-        bag = Counter()
-        for u in last:
-            for d in graph.get(u, []):
-                if ok(d) and d not in crawled:
-                    bag[d] += 1
-        if not bag:
-            break
-        total = sum(bag.values())
-        site_urls = defaultdict(float)
-        n_domain = defaultdict(int)
-        for u, n in bag.items():
-            site_urls[site(u)] += n
-            n_domain[site(u)] += 1
-        scored = {
-            u: n / total + site_urls[site(u)] / n_domain[site(u)] for u, n in bag.items()
-        }
-        by_site = defaultdict(list)
-        for u, sc in scored.items():
-            by_site[site(u)].append((u, sc))
-        used = Counter(site(u) for u in crawled)
-        picked = []
-        for st, items in by_site.items():
-            items.sort(key=lambda t: (-t[1], t[0]))
-            batch = items[:batch_per_site]
-            room = max(site_cap - used[st], 0)
-            picked.extend(u for u, _ in batch[:room])
-        for u in picked:
-            crawled[u] = r
-        last = picked
-    return crawled
 
 
 def test_frontier_matches_oracle(spark):

@@ -52,28 +52,42 @@ def test_streamed_index_equals_batch(spark, tmp_path):
         for j, f in enumerate(sorted(glob.glob(f"{inbox}/chunk{i}/*.parquet"))):
             shutil.copy(f, f"{flat}/part_{i}_{j}.parquet")
 
-    run_incremental_index(spark, flat, index_dir, bucket_span=64, available_now=True)
+    run_incremental_index(
+        spark, flat, index_dir, bucket_span=64, available_now=True, max_files_per_trigger=1
+    )
 
     docs, blocks, lex, stats = read_index(spark, index_dir)
     assert stats["n_docs"] == 300
-    # doc ids are dense and unique across batches
+    # doc ids are unique; batch offsets are bucket-aligned so batches never
+    # share a (term, bucket) — ids may GAP at batch boundaries by design
     agg = docs.agg(
         F.count("*").alias("c"), F.countDistinct("doc_id").alias("d"),
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"),
     ).collect()[0]
-    assert agg["c"] == agg["d"] == 300 and agg["mn"] == 0 and agg["mx"] == 299
+    assert agg["c"] == agg["d"] == 300 and agg["mn"] == 0 and agg["mx"] >= 299
+    from sparksearch.streaming import _load_state
 
-    # batch twin over the SAME doc-id assignment + pinned avgdl
+    state = _load_state(index_dir)
+    assert len(state["batches"]) >= 2  # the test must exercise multi-batch
+    for b in state["batches"]:
+        assert b["offset"] % 64 == 0
+
+    # batch twin over the SAME doc-id assignment + pinned avgdl; all three
+    # evaluators must agree (the cursor path walks blocks ACROSS batch
+    # buckets — the next_geq regression the bucket alignment guarantees)
     posts = postings_from_documents(docs)
     batch_blocks = build_block_index(posts, stats["avg_doc_len"], bucket_span=64)
     batch_lex = lexicon(posts).select("term", "df")
 
     qt = query_terms_df(spark, QUERIES)
-    got = wand_topk(blocks, lex, qt, stats["n_docs"], stats["avg_doc_len"]).collect()
-    want = wand_topk(batch_blocks, batch_lex, qt, stats["n_docs"], stats["avg_doc_len"]).collect()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
-    assert sorted(map(key, got)) == sorted(map(key, want))
-    assert len(got) > 0
+    want = wand_topk(batch_blocks, batch_lex, qt, stats["n_docs"], stats["avg_doc_len"]).collect()
+    for ev in ("auto", "cursor", "vectorized"):
+        got = wand_topk(
+            blocks, lex, qt, stats["n_docs"], stats["avg_doc_len"], evaluator=ev
+        ).collect()
+        assert sorted(map(key, got)) == sorted(map(key, want)), ev
+        assert len(got) > 0
 
 
 def test_stream_resume_no_double_count(spark, tmp_path):
@@ -96,6 +110,56 @@ def test_stream_resume_no_double_count(spark, tmp_path):
     assert s1["n_docs"] == s2["n_docs"] == 50
 
 
+def test_exactly_once_commit_protocol(spark, tmp_path):
+    """foreachBatch redelivery crash windows: (a) redelivery after commit
+    but BEFORE the state save must repair state without re-appending;
+    (b) redelivery after a half-commit (docs renamed, blocks missing) must
+    discard the partial batch and land it exactly once."""
+    import json
+    import shutil
+
+    from sparksearch.streaming import _load_state, _read_parts, ingest_batch, read_index
+
+    index_dir = str(tmp_path / "idx_eo")
+    os.makedirs(index_dir)
+    corpus = synthetic_corpus(spark, 60, seed=21).cache()
+    b0 = corpus.limit(30)
+    ingest_batch(b0, 0, index_dir, bucket_span=64)
+
+    # (a) crash between commit and state save: roll the state back by hand,
+    # then redeliver the same batch id
+    state_path = f"{index_dir}/_STREAM_STATE.json"
+    state = _load_state(index_dir)
+    committed = dict(state)
+    committed["batches"] = []
+    committed["next_doc_id"] = 0
+    with open(state_path, "w") as f:
+        json.dump(committed, f)
+    ingest_batch(b0, 0, index_dir, bucket_span=64)  # redelivery -> repair
+    repaired = _load_state(index_dir)
+    assert [b["batch_id"] for b in repaired["batches"]] == [0]
+    assert repaired["next_doc_id"] == state["next_doc_id"]
+    docs, _, _, stats = read_index(spark, index_dir)
+    assert stats["n_docs"] == 30  # no duplicate append
+
+    # (b) half-commit: docs dir renamed, blocks dir missing
+    b1 = corpus.subtract(b0)
+    docs_dir = f"{index_dir}/documents/batch_1"
+    os.makedirs(docs_dir)
+    with open(f"{docs_dir}/_meta.json", "w") as f:
+        json.dump({"offset": 999, "n_docs": 999, "batch_id": 1}, f)
+    ingest_batch(b1, 1, index_dir, bucket_span=64)
+    docs, _, _, stats = read_index(spark, index_dir)
+    assert stats["n_docs"] == 60
+    st = _load_state(index_dir)
+    assert sorted(b["batch_id"] for b in st["batches"]) == [0, 1]
+    # both batches' blocks present, offsets aligned and disjoint
+    assert st["batches"][1]["offset"] % 64 == 0
+    assert st["batches"][1]["offset"] >= st["batches"][0]["offset"] + st["batches"][0]["n_docs"]
+    assert _read_parts(spark, f"{index_dir}/blocks").count() > 0
+    shutil.rmtree(index_dir)
+
+
 def test_compaction_preserves_results(spark, tmp_path):
     """Compaction (uniform re-bucketing + avgdl re-pin) must answer queries
     identically to a from-scratch batch build over the same docs with the
@@ -114,7 +178,9 @@ def test_compaction_preserves_results(spark, tmp_path):
     run_incremental_index(spark, flat, index_dir, bucket_span=32, available_now=True)
     from sparksearch.streaming import compact_index
 
-    pre_blocks = spark.read.parquet(f"{index_dir}/blocks").count()
+    from sparksearch.streaming import _read_parts
+
+    pre_blocks = _read_parts(spark, f"{index_dir}/blocks").count()
     info = compact_index(spark, index_dir, bucket_span=128)
     assert info["n_blocks"] <= pre_blocks
 
