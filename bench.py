@@ -83,7 +83,10 @@ def main() -> None:
             postings = postings_from_documents(docs)
             postings.write.mode("overwrite").parquet(f"{tmp}/postings")
             persisted = spark.read.parquet(f"{tmp}/postings")
-            blocks = build_block_index(persisted, st["avg_doc_len"])
+            # bucket_span bounds every encode group (the skew guarantee the
+            # build needs at 10^12 files); identical query results either
+            # way (tests prove it) — bench measures the scale configuration
+            blocks = build_block_index(persisted, st["avg_doc_len"], bucket_span=2048)
             blocks.write.mode("overwrite").parquet(f"{tmp}/postings_index")
             lexicon(persisted).write.mode("overwrite").parquet(f"{tmp}/lexicon")
             doc_table(docs, persisted).write.mode("overwrite").parquet(f"{tmp}/doc_table")
@@ -102,6 +105,75 @@ def main() -> None:
                 blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K
             ).count(),
         )
+
+        # pruning evidence: evaluator choice + chunks decoded vs total per
+        # query (constant per query; one representative row each)
+        pruning: dict[str, dict] = {}
+        stats_rows = wand_topk(
+            blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K, with_stats=True
+        ).collect()
+        for r in stats_rows:
+            q = str(r["query_id"])
+            if q not in pruning:
+                tot, dec = int(r["chunks_total"]), int(r["chunks_decoded"])
+                pruning[q] = {
+                    "evaluator": r["evaluator"],
+                    "chunks_total": tot,
+                    "chunks_decoded": dec,
+                    "decode_ratio": round(dec / max(tot, 1), 4),
+                }
+
+        # chunk-level vs block-level score bounds: same cursor evaluator, one
+        # run with per-chunk max/min metadata, one with it stripped (block-
+        # level fallback) — the decoded-chunk delta is the measured win of
+        # the per-chunk metadata.  The driver testdata's vocabulary is all
+        # hot negative-idf terms (WAND legitimately cannot prune there), so
+        # this study runs on the package's synthetic code corpus, whose
+        # mid-df positive-idf identifiers + rare uniq tokens are the regime
+        # finer bounds actually help (rare term fills θ, hot chunks skip).
+        def skip_study() -> dict:
+            from sparksearch.corpus import documents_from_corpus, synthetic_corpus
+
+            sdocs = documents_from_corpus(synthetic_corpus(spark, 4000, seed=11)).cache()
+            sposts = postings_from_documents(sdocs)
+            sst = collection_stats(sdocs)
+            slex = lexicon(sposts).select("term", "df")
+            sblocks = build_block_index(sposts, sst["avg_doc_len"], bucket_span=1024).cache()
+            sblocks.count()
+            rq = [
+                (101, "uniq99tok buffer", DISJUNCTIVE),
+                (102, "uniq42tok data", DISJUNCTIVE),
+                (103, "uniq17tok value", DISJUNCTIVE),
+                (104, "uniq123tok size", DISJUNCTIVE),
+                (105, "uniq7tok count", DISJUNCTIVE),
+            ]
+            qt_rare = query_terms_df(spark, rq)
+
+            def _decoded(bdf):
+                rows = wand_topk(
+                    bdf, slex, qt_rare, sst["n_docs"], sst["avg_doc_len"],
+                    k=TOP_K, evaluator="cursor", with_stats=True,
+                ).collect()
+                agg: dict[int, tuple[int, int]] = {}
+                for r in rows:
+                    agg[r["query_id"]] = (int(r["chunks_total"]), int(r["chunks_decoded"]))
+                return agg
+
+            chunk_meta = _decoded(sblocks)
+            block_meta = _decoded(sblocks.drop("chunk_max_norms", "chunk_min_norms"))
+            out = {
+                str(q): {
+                    "chunks_total": chunk_meta.get(q, (0, 0))[0],
+                    "decoded_chunk_bounds": chunk_meta.get(q, (0, 0))[1],
+                    "decoded_block_bounds": block_meta.get(q, (0, 0))[1],
+                }
+                for q in sorted(set(chunk_meta) | set(block_meta))
+            }
+            sdocs.unpersist()
+            sblocks.unpersist()
+            return out
+
+        rare_and_skipping = skip_study()
 
         # per-query latency distribution (the BASELINE metric names "BM25
         # top-k query latency"): each query as its own job, like the
@@ -144,7 +216,13 @@ def main() -> None:
             sub = [q for q in BENCH_QUERIES[:4]]
             qts = query_terms_df(spark, sub)
             res = topk(postings, lex, qts, st["n_docs"], st["avg_doc_len"])
-            dfs = {r["term"]: int(r["df"]) for r in lex.collect()}
+            vocab = sorted({w for _, t, _ in sub for w in tokenize_text(t)})
+            from pyspark.sql import functions as F
+
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in lex.filter(F.col("term").isin(vocab)).collect()
+            }
             qinfo = {
                 qid: (tokenize_text(t), [dfs.get(w, 0) for w in tokenize_text(t)])
                 for qid, t, _ in sub
@@ -187,6 +265,8 @@ def main() -> None:
                     "docs_per_sec": round(n_docs / timings["index_build"], 2),
                     "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
                     "bm25_query_latency": latency,
+                    "pruning": pruning,
+                    "rare_and_skipping": rare_and_skipping,
                     "cpus": cpus,
                 }
             )

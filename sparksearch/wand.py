@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import decode_block, tf_norm
+from .codec import chunk_offsets, decode_block, decode_chunk, tf_norm
 from .constants import CONJUNCTIVE, TOP_K
 
 TOPK_SCHEMA = T.StructType(
@@ -47,79 +47,104 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+# stats variant: constant per-query pruning evidence appended to every row
+TOPK_STATS_SCHEMA = T.StructType(
+    list(TOPK_SCHEMA.fields)
+    + [
+        T.StructField("evaluator", T.StringType(), False),
+        T.StructField("chunks_total", T.LongType(), False),
+        T.StructField("chunks_decoded", T.LongType(), False),
+    ]
+)
+
 
 class TermCursor:
-    """Lazy cursor over one term's block sequence (ascending doc_id)."""
+    """Lazy CHUNK-granular cursor over one term's block sequence (ascending
+    doc_id).  Skip metadata is per 64-posting chunk — last_doc_id (the
+    reference's skip key, hw3/DataLoader.cpp:793-806) plus our per-chunk
+    score bound — so next_geq never decodes a skipped chunk, and the WAND
+    upper bound is the suffix max over remaining chunks (finer than the
+    per-block bound: rare-term conjunctive queries skip inside blocks)."""
 
-    __slots__ = ("weight", "idf", "block_last", "block_bound", "blocks", "bi", "pi",
-                 "_docs", "_tfs", "_dls", "avg_dl", "exhausted")
+    __slots__ = ("weight", "idf", "avg_dl", "chunk_last", "suffix_bound", "chunk_src",
+                 "ci", "pi", "_docs", "_tfs", "_dls", "exhausted",
+                 "chunks_total", "chunks_decoded")
 
     def __init__(self, term_blocks: pd.DataFrame, weight: float, idf: float, avg_dl: float):
         tb = term_blocks.sort_values(["bucket", "block_id"])
-        self.blocks = list(tb.itertuples(index=False))
-        self.block_last = np.array([b.last_doc_ids[-1] for b in self.blocks], np.int64)
-        bounds = np.where(
-            idf >= 0,
-            idf * tb["max_tf_norm"].to_numpy(),
-            idf * tb["min_tf_norm"].to_numpy(),
+        has_chunk_meta = "chunk_max_norms" in tb.columns
+        lasts, bounds, srcs = [], [], []
+        for b in tb.itertuples(index=False):
+            n_chunks = len(b.last_doc_ids)
+            s, d_end, t_end, l_end = chunk_offsets(
+                np.asarray(b.docid_sizes), np.asarray(b.tf_sizes), np.asarray(b.dl_sizes)
+            )
+            if has_chunk_meta:
+                cmax = np.asarray(b.chunk_max_norms, np.float64)
+                cmin = np.asarray(b.chunk_min_norms, np.float64)
+            else:  # index persisted before chunk metadata: block-level bound
+                cmax = np.full(n_chunks, float(b.max_tf_norm))
+                cmin = np.full(n_chunks, float(b.min_tf_norm))
+            bounds.append(weight * (idf * cmax if idf >= 0 else idf * cmin))
+            lasts.append(np.asarray(b.last_doc_ids, np.int64))
+            payload = bytes(b.payload)
+            for i in range(n_chunks):
+                srcs.append((payload, int(s[i]), int(d_end[i]), int(t_end[i]), int(l_end[i])))
+        self.chunk_last = np.concatenate(lasts) if lasts else np.zeros(0, np.int64)
+        chunk_bound = np.concatenate(bounds) if bounds else np.zeros(0)
+        self.suffix_bound = (
+            np.maximum.accumulate(chunk_bound[::-1])[::-1] if len(chunk_bound) else chunk_bound
         )
-        self.block_bound = weight * bounds
+        self.chunk_src = srcs
+        self.chunks_total = len(srcs)
+        self.chunks_decoded = 0
         self.weight = weight
         self.idf = idf
         self.avg_dl = avg_dl
-        self.bi = -1
+        self.ci = -1
         self.pi = 0
         self._docs = None
-        self.exhausted = False
-        self._load(0)
+        self.exhausted = self.chunks_total == 0
+        if not self.exhausted:
+            self._load(0)
 
-    def _load(self, bi: int) -> None:
-        if bi >= len(self.blocks):
-            self.exhausted = True
-            return
-        b = self.blocks[bi]
-        docs, tfs, dls = decode_block(
-            bytes(b.payload), np.asarray(b.docid_sizes), np.asarray(b.tf_sizes), np.asarray(b.dl_sizes)
-        )
-        self.bi = bi
+    def _load(self, ci: int) -> None:
+        payload, s, d_end, t_end, l_end = self.chunk_src[ci]
+        self._docs, self._tfs, self._dls = decode_chunk(payload, s, d_end, t_end, l_end)
+        self.ci = ci
         self.pi = 0
-        self._docs = docs
-        self._tfs = tfs
-        self._dls = dls
+        self.chunks_decoded += 1
 
     def doc(self) -> int:
         return int(self._docs[self.pi])
 
     def upper_bound(self) -> float:
-        """Bound for the REMAINING blocks (current onward)."""
-        return float(self.block_bound[self.bi :].max())
+        """Score bound for the REMAINING chunks (current onward)."""
+        return float(self.suffix_bound[self.ci])
 
     def next_geq(self, target: int) -> None:
         """Advance to first posting with doc_id >= target, skipping whole
-        blocks via last_doc_id metadata (never decoding skipped payloads)."""
+        chunks via last_doc_id metadata (skipped chunks never decode)."""
         if self.exhausted:
             return
-        if self.block_last[self.bi] < target:
-            nbi = int(np.searchsorted(self.block_last, target, side="left"))
-            if nbi >= len(self.blocks):
+        if self.chunk_last[self.ci] < target:
+            nci = int(np.searchsorted(self.chunk_last, target, side="left"))
+            if nci >= self.chunks_total:
                 self.exhausted = True
                 return
-            self._load(nbi)
-        self.pi = int(np.searchsorted(self._docs[self.pi :], target) + self.pi)
-        while self.pi >= len(self._docs):
-            if self.bi + 1 >= len(self.blocks):
-                self.exhausted = True
-                return
-            self._load(self.bi + 1)
+            self._load(nci)
+            # chunk_last[nci] >= target ⇒ a qualifying posting exists here
             self.pi = int(np.searchsorted(self._docs, target))
+        else:
+            self.pi = int(np.searchsorted(self._docs[self.pi :], target) + self.pi)
 
     def advance(self) -> None:
         self.pi += 1
         if self.pi >= len(self._docs):
-            if self.bi + 1 >= len(self.blocks):
+            if self.ci + 1 >= self.chunks_total:
                 self.exhausted = True
             else:
-                self._load(self.bi + 1)
+                self._load(self.ci + 1)
 
     def score_current(self) -> float:
         tf = float(self._tfs[self.pi])
@@ -207,7 +232,7 @@ def conjunctive_topk_query(cursors: list[TermCursor], n_terms: int, k: int) -> l
 
 def blockmax_vectorized_topk(
     pdf: pd.DataFrame, mode: str, n_terms: int, avg_dl: float, k: int
-) -> list[tuple[int, float]]:
+) -> tuple[list[tuple[int, float]], int, int]:
     """Vectorized block-max evaluation of one query: doc-range-at-a-time.
 
     The bucketed index aligns blocks of ALL terms on the same doc-id ranges
@@ -223,11 +248,13 @@ def blockmax_vectorized_topk(
     (hw3/DataLoader.cpp:773-864) — ours skips on score bounds, per
     north_star.
     """
+    chunks_total = int(pdf["n_chunks"].sum())
+    chunks_decoded = 0
     terms = {}
     for term, tb in pdf.groupby("term", sort=False):
         terms[term] = (float(tb["weight"].iloc[0]), float(tb["idf"].iloc[0]), tb)
     if mode == CONJUNCTIVE and len(terms) < n_terms:
-        return []
+        return [], chunks_total, 0
 
     # per (bucket, term): score bound; per bucket: Σ over terms
     bucket_bounds: dict[int, float] = {}
@@ -255,6 +282,7 @@ def blockmax_vectorized_topk(
         doc_parts, score_parts = [], []
         for term, b in bucket_blocks[bk]:
             weight, idf, _ = terms[term]
+            chunks_decoded += int(b.n_chunks)
             docs, tfs, dls = decode_block(
                 bytes(b.payload),
                 np.asarray(b.docid_sizes),
@@ -283,7 +311,8 @@ def blockmax_vectorized_topk(
         if len(topk_docs) >= k:
             theta = float(topk_scores.min())
     order = np.lexsort((topk_docs, -topk_scores))
-    return [(int(topk_docs[i]), float(topk_scores[i])) for i in order]
+    ranked = [(int(topk_docs[i]), float(topk_scores[i])) for i in order]
+    return ranked, chunks_total, chunks_decoded
 
 
 def wand_topk(
@@ -295,8 +324,11 @@ def wand_topk(
     k: int = TOP_K,
     evaluator: str = "auto",
     auto_df_fraction: float = 0.02,
+    with_stats: bool = False,
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) over the compressed index.
+    """(query_id, rank, doc_id, score) over the compressed index; with
+    ``with_stats`` three pruning-evidence columns are appended (constant per
+    query): evaluator chosen, chunks_total, chunks_decoded.
 
     One IN-list-pruned scan + broadcast join selects the query terms'
     blocks (the Spark analog of the lexicon offset lookup + mmap,
@@ -341,7 +373,9 @@ def wand_topk(
             total_df = float(pdf.groupby("term")["df"].first().sum())
             ev = "vectorized" if total_df >= auto_df_fraction * n_docs else "cursor"
         if ev == "vectorized":
-            ranked = blockmax_vectorized_topk(pdf, mode, n_terms, avg_doc_len, k)
+            ranked, c_total, c_decoded = blockmax_vectorized_topk(
+                pdf, mode, n_terms, avg_doc_len, k
+            )
         else:  # "cursor": posting-at-a-time reference evaluator
             cursors = []
             for term, tb in pdf.groupby("term", sort=False):
@@ -352,7 +386,9 @@ def wand_topk(
                 ranked = conjunctive_topk_query(cursors, n_terms, k)
             else:
                 ranked = wand_topk_query(cursors, k)
-        return pd.DataFrame(
+            c_total = sum(c.chunks_total for c in cursors)
+            c_decoded = sum(c.chunks_decoded for c in cursors)
+        out = pd.DataFrame(
             {
                 "query_id": qid,
                 "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
@@ -360,5 +396,11 @@ def wand_topk(
                 "score": [s for _, s in ranked],
             }
         )
+        if with_stats:
+            out["evaluator"] = ev
+            out["chunks_total"] = np.int64(c_total)
+            out["chunks_decoded"] = np.int64(c_decoded)
+        return out
 
-    return joined.groupBy("query_id").applyInPandas(run, schema=TOPK_SCHEMA)
+    schema = TOPK_STATS_SCHEMA if with_stats else TOPK_SCHEMA
+    return joined.groupBy("query_id").applyInPandas(run, schema=schema)

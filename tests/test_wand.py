@@ -89,6 +89,34 @@ def test_vectorized_equals_cursor_evaluator(spark, ctx):
     assert sorted(ra) == sorted(rb)
 
 
+def test_chunk_meta_fallback_and_stats(spark, ctx):
+    """Stripping the per-chunk score bounds (old index layout) must change
+    NOTHING about the ranked output — only how many chunks decode; the
+    with_stats columns must be self-consistent and show real skipping."""
+    docs, posts, st, lex, blocks, idx = ctx
+    qt = query_terms_df(spark, QUERIES)
+    full = wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="cursor")
+    nometa = wand_topk(
+        blocks.drop("chunk_max_norms", "chunk_min_norms"),
+        lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="cursor",
+    )
+    kf = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in full.collect())
+    kn = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in nometa.collect())
+    assert kf == kn
+
+    stats = wand_topk(
+        blocks, lex, qt, st["n_docs"], st["avg_doc_len"], evaluator="cursor", with_stats=True
+    ).collect()
+    plain = {(r["query_id"], r["rank"], r["doc_id"]) for r in full.collect()}
+    assert {(r["query_id"], r["rank"], r["doc_id"]) for r in stats} == plain
+    by_q = {}
+    for r in stats:
+        by_q[r["query_id"]] = (r["chunks_total"], r["chunks_decoded"], r["evaluator"])
+    assert all(d <= t and ev == "cursor" for t, d, ev in by_q.values())
+    # rare-term queries must actually skip chunks (uniq13tok + hot term)
+    assert any(d < t for t, d, _ in by_q.values())
+
+
 def test_auto_dispatch_equals_both(spark, ctx):
     docs, posts, st, lex, blocks, idx = ctx
     qt = query_terms_df(spark, QUERIES)
