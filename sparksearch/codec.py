@@ -252,22 +252,39 @@ def decode_block(
     tf_sizes: np.ndarray,
     dl_sizes: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (doc_ids, tfs, doc_lens) for one block (all its chunks)."""
-    doc_parts, tf_parts, dl_parts = [], [], []
-    off = 0
-    for ds, ts, ls in zip(docid_sizes, tf_sizes, dl_sizes):
-        ds, ts, ls = int(ds), int(ts), int(ls)
-        gaps = varbyte_decode(payload[off : off + ds]).astype(np.int64)
-        off += ds
-        tfs = varbyte_decode(payload[off : off + ts]).astype(np.int64)
-        off += ts
-        dls = varbyte_decode(payload[off : off + ls]).astype(np.int64)
-        off += ls
-        doc_parts.append(np.cumsum(gaps))  # prefix-sum undoes delta (hw3/DataLoader.cpp:580-585)
-        tf_parts.append(tfs)
-        dl_parts.append(dls)
-    return (
-        np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int64),
-        np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.int64),
-        np.concatenate(dl_parts) if dl_parts else np.zeros(0, np.int64),
-    )
+    """-> (doc_ids, tfs, doc_lens) for one block (all its chunks).
+
+    Fully vectorized: each of the three interleaved streams is gathered
+    into one contiguous buffer and varbyte-decoded ONCE for the whole
+    block (3 decode calls instead of 3 per chunk); the per-chunk delta
+    reset is undone with a global prefix sum minus per-chunk base
+    (hw3/DataLoader.cpp:580-585 is the sequential original)."""
+    d = np.asarray(docid_sizes, np.int64)
+    t = np.asarray(tf_sizes, np.int64)
+    l = np.asarray(dl_sizes, np.int64)
+    n_chunks = len(d)
+    if n_chunks == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy()
+    buf = np.frombuffer(payload, np.uint8)
+    start, d_end, t_end, l_end = chunk_offsets(d, t, l)
+
+    def gather(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        if n_chunks == 1:
+            return buf[int(starts[0]) : int(ends[0])]
+        return np.concatenate([buf[int(s) : int(e)] for s, e in zip(starts, ends)])
+
+    gap_bytes = gather(start, d_end)
+    gaps = varbyte_decode(gap_bytes).astype(np.int64)
+    tfs = varbyte_decode(gather(d_end, t_end)).astype(np.int64)
+    dls = varbyte_decode(gather(t_end, l_end)).astype(np.int64)
+
+    # values per chunk = varbyte group count per gathered docid slice
+    is_last = ((gap_bytes & 0x80) == 0).astype(np.int64)  # cast: bool reduceat clips at 1
+    slice_offsets = np.r_[0, np.cumsum(d)[:-1]]
+    counts = np.add.reduceat(is_last, slice_offsets)
+    ends = np.cumsum(counts)
+    glob = np.cumsum(gaps)
+    base = np.r_[0, glob[ends[:-1] - 1]] if n_chunks > 1 else np.zeros(1, np.int64)
+    doc_ids = glob - np.repeat(base, counts)
+    return doc_ids, tfs, dls
