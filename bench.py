@@ -35,7 +35,7 @@ from sparksearch.query import query_terms_df, topk  # noqa: E402
 from sparksearch.session import get_spark  # noqa: E402
 from sparksearch.stats import collection_stats, doc_table, lexicon  # noqa: E402
 from sparksearch.tokenize import postings_from_documents  # noqa: E402
-from sparksearch.wand import wand_topk  # noqa: E402
+from sparksearch.wand import wand_topk, wand_topk_batch  # noqa: E402
 
 BENCH_QUERIES = [
     (1, "hash join merge", DISJUNCTIVE),
@@ -103,6 +103,32 @@ def main() -> None:
             "wand_topk_all",
             lambda: wand_topk(
                 blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K
+            ).count(),
+        )
+
+        # doc-partitioned batch mode: same 16 queries (comparability with
+        # wand_topk_all) plus a 512-query generated set — the architecture
+        # for large batch query sets (index shuffled once, not per query)
+        timed(
+            "wand_batch_topk_all",
+            lambda: wand_topk_batch(
+                blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K
+            ).count(),
+        )
+        vocab_terms = ["hash", "join", "merge", "table", "scan", "filter", "sort",
+                       "order", "window", "key", "value", "row", "spark", "stream",
+                       "batch", "dup"]
+        big_set = [
+            (1000 + i,
+             " ".join(vocab_terms[(i + j) % len(vocab_terms)] for j in range(3)),
+             DISJUNCTIVE if i % 2 == 0 else CONJUNCTIVE)
+            for i in range(512)
+        ]
+        qt_big = query_terms_df(spark, big_set)
+        timed(
+            "wand_batch_512q",
+            lambda: wand_topk_batch(
+                blocks, lex, qt_big, st["n_docs"], st["avg_doc_len"], k=TOP_K
             ).count(),
         )
 
@@ -264,6 +290,7 @@ def main() -> None:
                     "n_docs": n_docs,
                     "docs_per_sec": round(n_docs / timings["index_build"], 2),
                     "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
+                    "bm25_batch_queries_per_sec": round(512 / timings["wand_batch_512q"], 2),
                     "bm25_query_latency": latency,
                     "pruning": pruning,
                     "rare_and_skipping": rare_and_skipping,

@@ -322,6 +322,40 @@ _register(
     _topk_sql(CONJUNCTIVE),
 )
 
+# 9b/9c. doc-partitioned BATCH evaluation (the large-query-set throughput
+#        architecture: index shuffled once by doc bucket, queries broadcast,
+#        decode-once-score-many per bucket, per-bucket top-k merge) — must
+#        equal the same exhaustive SQL oracle rank-identically
+def _spark_topk_batch(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    from .wand import wand_topk_batch
+
+    docs = _docs(spark, sf_dir)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings).select("term", "df")
+    blocks = build_block_index(postings, st["avg_doc_len"], bucket_span=128)
+    qt = query_terms_df(spark, [q for q in QUERY_SET if q[2] == mode])
+    raw = wand_topk_batch(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K + 30)
+    m = raw.select("query_id", "doc_id", micro(F.col("score")).alias("score_micro"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+_register(
+    "wand_batch_topk_or",
+    lambda spark, sf_dir: _spark_topk_batch(spark, sf_dir, DISJUNCTIVE),
+    _topk_sql(DISJUNCTIVE),
+)
+_register(
+    "wand_batch_topk_and",
+    lambda spark, sf_dir: _spark_topk_batch(spark, sf_dir, CONJUNCTIVE),
+    _topk_sql(CONJUNCTIVE),
+)
+
 # 10. exact dedup by sha256
 _register(
     "dedup_exact",

@@ -10,7 +10,7 @@ from sparksearch.oracle import engine as oracle
 from sparksearch.query import query_terms_df, topk
 from sparksearch.stats import collection_stats, lexicon
 from sparksearch.tokenize import postings_from_documents
-from sparksearch.wand import wand_topk
+from sparksearch.wand import wand_topk, wand_topk_batch
 
 QUERIES = [
     (1, "if return", DISJUNCTIVE),
@@ -115,6 +115,29 @@ def test_chunk_meta_fallback_and_stats(spark, ctx):
     assert all(d <= t and ev == "cursor" for t, d, ev in by_q.values())
     # rare-term queries must actually skip chunks (uniq13tok + hot term)
     assert any(d < t for t, d, _ in by_q.values())
+
+
+def test_batch_docpart_equals_perquery(spark, ctx):
+    """The doc-partitioned batch evaluator (shuffle the index once, score
+    every query per bucket, merge per-bucket top-k) must be rank-identical
+    to the per-query-group evaluator and the oracle, in both modes and in
+    both bucket layouts."""
+    docs, posts, st, lex, blocks, idx = ctx
+    qt = query_terms_df(spark, QUERIES)
+    batch = _collect_by_query(wand_topk_batch(blocks, lex, qt, st["n_docs"], st["avg_doc_len"]))
+    for qid, text, mode in QUERIES:
+        want = oracle.topk(idx, text, mode)
+        got = batch.get(qid, [])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], qid
+        for g, (_, os_) in zip(got, want):
+            assert abs(g["score"] - os_) < 1e-9
+
+    # single-bucket layout (bucket_span=None) still answers correctly
+    blocks1 = build_block_index(posts, st["avg_doc_len"])
+    b1 = _collect_by_query(wand_topk_batch(blocks1, lex, qt, st["n_docs"], st["avg_doc_len"]))
+    for qid, text, mode in QUERIES:
+        want = oracle.topk(idx, text, mode)
+        assert [r["doc_id"] for r in b1.get(qid, [])] == [d for d, _ in want], qid
 
 
 def test_auto_dispatch_equals_both(spark, ctx):
