@@ -91,6 +91,17 @@ class TermCursor:
             for i in range(n_chunks):
                 srcs.append((payload, int(s[i]), int(d_end[i]), int(t_end[i]), int(l_end[i])))
         self.chunk_last = np.concatenate(lasts) if lasts else np.zeros(0, np.int64)
+        if len(self.chunk_last) > 1 and (np.diff(self.chunk_last) < 0).any():
+            # next_geq binary-searches chunk_last, which is only sound when
+            # chunk doc ranges are disjoint and ascending — guaranteed by the
+            # batch build (doc-sorted within (term, bucket)) and by the
+            # streaming build's bucket-aligned batch offsets.  An index
+            # violating it (e.g. written by a pre-alignment streaming build)
+            # must fail loudly, not silently drop postings.
+            raise ValueError(
+                "posting blocks have overlapping/descending doc ranges; "
+                "rebuild or compact the index (buckets must be doc-disjoint)"
+            )
         chunk_bound = np.concatenate(bounds) if bounds else np.zeros(0)
         self.suffix_bound = (
             np.maximum.accumulate(chunk_bound[::-1])[::-1] if len(chunk_bound) else chunk_bound
