@@ -103,10 +103,15 @@ def ngram_jaccard_pairs(
     """
     # join on the 60-bit shingle hash, not the string: far smaller shuffle
     # payload + integer comparisons (collision odds ~n²/2^61 — negligible,
-    # and the oracle hashes identically so parity is exact either way)
+    # and the oracle hashes identically so parity is exact either way).
+    # persist(): the shingle table feeds FOUR subplans (hot-shingle agg,
+    # anti-join probe, set sizes, both self-join sides) — without it the
+    # tokenize+shingle+md5 map recomputes per consumer (measured 2.6x
+    # slower at sf0.1).  MEMORY_AND_DISK and evictable; at 100 TB you
+    # would write the shingle table out once and share it with minhash.
     sh = shingles(documents, n=n, text_col=text_col).select(
         "doc_id", md5_hash60(F.col("shingle")).alias("sh")
-    )
+    ).persist()
     if max_df is not None:
         hot = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
@@ -196,7 +201,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes=num_hashes, n=n, text_col=text_col)
-    sig = sig.withColumn("band", (F.col("sig_idx") / rows_per_band).cast("int"))
+    # signatures feed the band hash AND both verification join sides —
+    # persist so the shingle+minhash pipeline runs once (same rationale
+    # and measurement as ngram_jaccard_pairs)
+    sig = sig.withColumn("band", (F.col("sig_idx") / rows_per_band).cast("int")).persist()
     band_hash = (
         sig.groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("sig_idx", "minhash"))).alias("vals"))
@@ -268,7 +276,9 @@ def simhash_pairs(
     via (t+1)-segment pigeonhole blocking — an equi-join on (segment_idx,
     segment_value), never quadratic, with full recall at the threshold by
     construction (t differing bits cannot cover t+1 segments)."""
-    sh = simhash(documents, text_col=text_col)
+    # both join sides read the fingerprints — compute the 60-bit projection
+    # once, not twice
+    sh = simhash(documents, text_col=text_col).persist()
     seg_structs = F.array(
         *[
             F.struct(

@@ -756,46 +756,56 @@ _register("index_stats", _index_stats, _index_stats_oracle)
 SNIPPET_QSET = [q for q in QUERY_SET if q[2] == DISJUNCTIVE][:3]
 
 
-def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .snippets import attach_snippets
-    from .tokenize import tokenize_text
+def _snippets_entry(algo: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .snippets import attach_snippets
+        from .tokenize import tokenize_text
 
-    docs = _docs(spark, sf_dir)
-    st = collection_stats(docs)
-    postings = postings_from_documents(docs)
-    lex = lexicon(postings)
-    query_vocab = sorted({w for _, text, _ in SNIPPET_QSET for w in tokenize_text(text)})
-    res = _spark_topk_exhaustive(spark, sf_dir, DISJUNCTIVE).filter(
-        F.col("query_id").isin([q[0] for q in SNIPPET_QSET])
-    )
-    # IN-list slice BEFORE collect: only the ~|query vocab| lexicon rows
-    # reach the driver (at scale the full lexicon is the vocabulary —
-    # 10^7..10^9 rows — and must never be collected wholesale)
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in lex.filter(F.col("term").isin(query_vocab)).collect()
-    }
-    qinfo = {
-        qid: (tokenize_text(text), [dfs.get(w, 0) for w in tokenize_text(text)])
-        for qid, text, _ in SNIPPET_QSET
-    }
-    out = attach_snippets(res, docs, qinfo, st["n_docs"], st["avg_doc_len"], algo="bm25")
-    return out.select(
-        "query_id",
-        "rank",
-        "doc_id",
-        F.md5(F.col("snippet")).alias("snippet_md5"),
-        micro(F.col("snippet_cover")).alias("cover_micro"),
-    )
+        docs = _docs(spark, sf_dir)
+        st = collection_stats(docs)
+        postings = postings_from_documents(docs)
+        lex = lexicon(postings)
+        query_vocab = sorted({w for _, text, _ in SNIPPET_QSET for w in tokenize_text(text)})
+        res = _spark_topk_exhaustive(spark, sf_dir, DISJUNCTIVE).filter(
+            F.col("query_id").isin([q[0] for q in SNIPPET_QSET])
+        )
+        # IN-list slice BEFORE collect: only the ~|query vocab| lexicon rows
+        # reach the driver (at scale the full lexicon is the vocabulary —
+        # 10^7..10^9 rows — and must never be collected wholesale)
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in lex.filter(F.col("term").isin(query_vocab)).collect()
+        }
+        qinfo = {
+            qid: (tokenize_text(text), [dfs.get(w, 0) for w in tokenize_text(text)])
+            for qid, text, _ in SNIPPET_QSET
+        }
+        out = attach_snippets(res, docs, qinfo, st["n_docs"], st["avg_doc_len"], algo=algo)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.md5(F.col("snippet")).alias("snippet_md5"),
+            micro(F.col("snippet_cover")).alias("cover_micro"),
+        )
 
-
-def _snippets_oracle() -> str:
-    from .fixture_oracles import snippets_fixture_sql
-
-    return snippets_fixture_sql(SNIPPET_QSET, k=TOP_K, algo="bm25")
+    return run
 
 
-_register("snippets_bm25", _snippets, _snippets_oracle)
+def _snippets_oracle(algo: str):
+    def gen() -> str:
+        from .fixture_oracles import snippets_fixture_sql
+
+        return snippets_fixture_sql(SNIPPET_QSET, k=TOP_K, algo=algo)
+
+    return gen
+
+
+# two representative algorithms in the driver harness: the best-performing
+# scored variant (bm25) and the simplest positional variant (linear) — the
+# other four are oracle-checked the same way in tests/test_snippets.py
+_register("snippets_bm25", _snippets_entry("bm25"), _snippets_oracle("bm25"))
+_register("snippets_linear", _snippets_entry("linear"), _snippets_oracle("linear"))
 
 
 # 24/25. multimodal plumbing (training-data pipeline): media table with

@@ -88,11 +88,17 @@ def link_scores(frontier: DataFrame, url_col: str = "url") -> DataFrame:
     """F12: score = n_url/Σurls + Σdomains/n_domain
     (hw1/code/crawler.py:273-277), where n_url = how many times this URL
     was discovered, n_domain = how many frontier URLs share its site.
-    Two skew-free aggregations + a broadcastable global count."""
+    Two skew-free aggregations + a broadcastable global count.
+
+    Returns None when the frontier is empty — the caller's stop signal
+    (folds the emptiness probe into the one scalar collect this function
+    already pays, instead of a separate isEmpty job per round)."""
     per_url = frontier.groupBy(url_col).agg(F.count("*").cast("double").alias("n_url"))
     with_site = per_url.withColumn("site", url_site(F.col(url_col)))
     per_site = with_site.groupBy("site").agg(F.sum("n_url").alias("site_urls"), F.count("*").cast("double").alias("n_domain"))
-    total = with_site.agg(F.sum("n_url")).collect()[0][0] or 1.0
+    total = with_site.agg(F.sum("n_url")).collect()[0][0]
+    if total is None:
+        return None
     return (
         with_site.join(per_site, "site")
         .select(
@@ -195,9 +201,9 @@ def crawl_frontier(
         out = filter_links(out)
         # drop already-crawled (visited set anti-join)
         fresh = out.join(crawled.select("url"), "url", "left_anti")
-        if fresh.isEmpty():
-            break
         scored = link_scores(fresh)
+        if scored is None:  # empty frontier — probe folded into link_scores
+            break
         # per-site crawl budget: top batch_per_site this round, and never
         # beyond site_cap cumulative pages per site
         w = Window.partitionBy("site").orderBy(F.desc("score"), F.asc("url"))
