@@ -308,12 +308,25 @@ def blockmax_vectorized_topk(
             )
         all_docs = np.concatenate(doc_parts)
         all_scores = np.concatenate(score_parts)
-        uniq, inv, cnt = np.unique(all_docs, return_inverse=True, return_counts=True)
-        sums = np.zeros(len(uniq))
-        np.add.at(sums, inv, all_scores)
-        if mode == CONJUNCTIVE:
-            keep = cnt == n_terms
-            uniq, sums = uniq[keep], sums[keep]
+        b_lo = int(all_docs.min())
+        span = int(all_docs.max()) - b_lo + 1
+        if span <= max(4 * len(all_docs), 1 << 16):
+            # dense accumulation over the bucket's doc range (bincount is
+            # one C pass; the unique/sort variant was the profile hotspot)
+            off = all_docs - b_lo
+            dsum = np.bincount(off, weights=all_scores, minlength=span)
+            dcnt = np.bincount(off, minlength=span)
+            sel = dcnt == n_terms if mode == CONJUNCTIVE else dcnt > 0
+            uniq = np.flatnonzero(sel)
+            sums = dsum[uniq]
+            uniq = uniq + b_lo
+        else:  # pathologically sparse id space: sort-based fallback
+            uniq, inv, cnt = np.unique(all_docs, return_inverse=True, return_counts=True)
+            sums = np.zeros(len(uniq))
+            np.add.at(sums, inv, all_scores)
+            if mode == CONJUNCTIVE:
+                keep = cnt == n_terms
+                uniq, sums = uniq[keep], sums[keep]
         if len(uniq) == 0:
             continue
         # vectorized bounded top-k merge, tie-break (score desc, doc asc)
