@@ -205,20 +205,21 @@ def crawl_frontier(
         if scored is None:  # empty frontier — probe folded into link_scores
             break
         # per-site crawl budget: top batch_per_site this round, and never
-        # beyond site_cap cumulative pages per site
+        # beyond site_cap cumulative pages per site.  ONE window suffices:
+        # the batch filter keeps a per-site PREFIX of the (score desc, url)
+        # order, so a row's rank among the kept rows equals its rank among
+        # all rows — rn <= batch AND rn + used <= cap is exactly the
+        # sequential twin's items[:batch][:cap-used].
+        used = crawled.groupBy("site").agg(F.count("*").alias("used"))
         w = Window.partitionBy("site").orderBy(F.desc("score"), F.asc("url"))
         picked = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= batch_per_site)
-            .select("url", "site", "score")
-        )
-        used = crawled.groupBy("site").agg(F.count("*").alias("used"))
-        w2 = Window.partitionBy("site").orderBy(F.desc("score"), F.asc("url"))
-        picked = (
-            picked.join(used, "site", "left")
+            scored.join(used, "site", "left")  # AQE broadcasts when small
             .na.fill({"used": 0})
-            .withColumn("rn2", F.row_number().over(w2))
-            .filter(F.col("rn2") + F.col("used") <= site_cap)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(
+                (F.col("rn") <= batch_per_site)
+                & (F.col("rn") + F.col("used") <= site_cap)
+            )
             .select("url", "site")
         )
         new_rows = picked.withColumn("round", F.lit(r))
