@@ -45,7 +45,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .query import query_terms_df, score_postings
-from .stats import collection_stats, lexicon
+from .stats import collection_stats, doc_table, lexicon
 from .tokenize import postings_from_documents, tokenize_text
 from .wand import wand_topk
 
@@ -270,6 +270,62 @@ _register(
 WITH {SQL_TOKS}, {SQL_POSTINGS}
 SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM postings GROUP BY term
+""",
+)
+
+
+# 4b. full doc table with word_nums (SURVEY §2.4 A6; hw2/DataLoader.cpp:69:
+#     wordnums = number of DISTINCT terms per doc)
+def _doc_table_wordnums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return doc_table(docs, postings_from_documents(docs)).select("doc_id", "word_nums")
+
+
+_register(
+    "doc_table_wordnums",
+    _doc_table_wordnums,
+    f"""
+WITH {SQL_TOKS}, {SQL_POSTINGS}
+SELECT d.doc_id, CAST(coalesce(p.wn, 0) AS BIGINT) AS word_nums
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) wn FROM postings GROUP BY doc_id) p USING (doc_id)
+""",
+)
+
+
+# 4c. hw2-layout codec round-trip (SURVEY §1.4 hw2 final index:
+#     interleaved varbyte(docID)+varbyte(tf), ABSOLUTE ids, no chunks —
+#     hw2/Lexicon.cpp:82-132).  Heritage-format parity entry: encode then
+#     decode must reproduce the postings exactly.  applyInPandas per term
+#     is fine here (parity check at test scale); the operational format is
+#     the hw3 blocked layout with the streaming encoder (blocks.py).
+def _hw2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .codec import decode_postings_hw2, encode_postings_hw2
+
+    postings = postings_from_documents(_docs(spark, sf_dir))
+
+    def rt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = encode_postings_hw2(
+            pdf["doc_id"].to_numpy(np.int64), pdf["tf"].to_numpy(np.int64)
+        )
+        d, t = decode_postings_hw2(buf)
+        return pd.DataFrame(
+            {"term": pdf["term"].iloc[0], "doc_id": d, "tf": t.astype(np.int32)}
+        )
+
+    return postings.groupBy("term").applyInPandas(rt, "term string, doc_id long, tf int")
+
+
+_register(
+    "postings_roundtrip_hw2",
+    _hw2_roundtrip,
+    f"""
+WITH {SQL_TOKS}, {SQL_POSTINGS}
+SELECT term, doc_id, tf FROM postings
 """,
 )
 
