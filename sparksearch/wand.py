@@ -16,7 +16,16 @@ bytes.  The bounded top-k heap is the reference's findTopKscores heap
 
 Upper bounds with the reference's UNCLAMPED idf (negative for df > N/2):
 contribution = weight * idf * tf_norm, so the per-block bound is
-``weight * (idf * max_tf_norm  if idf >= 0 else  idf * min_tf_norm)``.
+``weight * (idf * max_tf_norm  if idf >= 0 else  idf * min_tf_norm)`` —
+a bound CONDITIONAL on the doc containing the term.  Combining per-term
+bounds across a disjunctive query must respect that a doc may simply LACK
+a negative-bound term (contributing 0 > bound), so the combined bound is
+``Σ max(bd_t, 0)`` when any bd_t > 0, else ``max_t bd_t`` (the doc must
+contain at least one query term).  Summing raw (possibly negative) bounds
+under-estimates and can skip a winning pos-only doc — see
+:func:`_disjunctive_bound` and tests/test_wand.py::test_negative_idf_mix.
+Conjunctive evaluation forces every term present, so there the plain sum
+is sound (and tighter).
 
 Rank-identity argument for pruning at the θ boundary: docs are visited in
 ascending doc_id, so equal-score ties already in the heap are the smaller
@@ -189,17 +198,32 @@ class _TopK:
         return [(-nd, s) for s, nd in sorted(self.heap, key=lambda x: (-x[0], -x[1]))]
 
 
+def _disjunctive_bound(acc_pos: float, best_single: float) -> float:
+    """Sound upper bound for a doc containing >=1 of a term set whose
+    per-term presence-conditional bounds have positive-sum ``acc_pos`` and
+    max ``best_single`` (module docstring: negative-bound terms may be
+    absent and contribute 0, so they never tighten a disjunctive bound)."""
+    return acc_pos if acc_pos > 0.0 else best_single
+
+
 def wand_topk_query(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     top = _TopK(k)
     cursors = [c for c in cursors if not c.exhausted]
     while cursors:
         cursors.sort(key=lambda c: c.doc())
-        acc = 0.0
+        acc_pos = 0.0
+        best_single = float("-inf")
         pivot_idx = -1
         theta = top.theta()
         for i, c in enumerate(cursors):
-            acc += c.upper_bound()
-            if acc > theta:
+            ub = c.upper_bound()
+            if ub > 0.0:
+                acc_pos += ub
+            if ub > best_single:
+                best_single = ub
+            # prefix bound is nondecreasing in i, so the first crossing
+            # is the pivot (docs below it cannot beat θ)
+            if _disjunctive_bound(acc_pos, best_single) > theta:
                 pivot_idx = i
                 break
         if pivot_idx < 0:
@@ -269,8 +293,14 @@ def blockmax_vectorized_topk(
     if mode == CONJUNCTIVE and len(terms) < n_terms:
         return [], chunks_total, 0
 
-    # per (bucket, term): score bound; per bucket: Σ over terms
-    bucket_bounds: dict[int, float] = {}
+    # per (bucket, term): presence-conditional score bound; combine per
+    # bucket with the mode-aware rule (module docstring): conjunctive =
+    # plain Σ (every term forced present); disjunctive = Σ of positive
+    # bounds, or the max bound when all are negative (a doc may lack any
+    # negative-bound term and contribute 0 for it)
+    bucket_sum: dict[int, float] = {}
+    bucket_pos: dict[int, float] = {}
+    bucket_max: dict[int, float] = {}
     bucket_blocks: dict[int, list] = {}
     bucket_term_count: dict[int, int] = {}
     for term, (weight, idf, tb) in terms.items():
@@ -281,8 +311,19 @@ def blockmax_vectorized_topk(
             per_bucket_bound[bk] = max(per_bucket_bound.get(bk, float("-inf")), bd)
             bucket_blocks.setdefault(bk, []).append((term, b))
         for bk, bd in per_bucket_bound.items():
-            bucket_bounds[bk] = bucket_bounds.get(bk, 0.0) + bd
+            bucket_sum[bk] = bucket_sum.get(bk, 0.0) + bd
+            if bd > 0.0:
+                bucket_pos[bk] = bucket_pos.get(bk, 0.0) + bd
+            bucket_max[bk] = max(bucket_max.get(bk, float("-inf")), bd)
             bucket_term_count[bk] = bucket_term_count.get(bk, 0) + 1
+    bucket_bounds = {
+        bk: (
+            bucket_sum[bk]
+            if mode == CONJUNCTIVE
+            else _disjunctive_bound(bucket_pos.get(bk, 0.0), bucket_max[bk])
+        )
+        for bk in bucket_sum
+    }
 
     topk_docs = np.zeros(0, np.int64)
     topk_scores = np.zeros(0)

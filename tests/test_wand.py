@@ -148,3 +148,41 @@ def test_auto_dispatch_equals_both(spark, ctx):
     ka = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in auto.collect())
     kv = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in vec.collect())
     assert ka == kv
+
+
+def test_negative_idf_mix_disjunctive_bounds(spark):
+    """Regression (round 3): disjunctive queries mixing positive- and
+    negative-idf terms.  A doc lacking the negative-idf term contributes 0
+    for it — more than the (negative) per-block bound — so summing raw
+    bounds under-estimates the best achievable score of pos-only docs and
+    skipped the true rank-1 doc in both evaluators.  The corpus is tuned so
+    the unsound bound falls strictly below θ while doc 180 (pos-only)
+    out-scores every doc containing both terms."""
+    rows = []
+    for d in range(150):  # df(neg)=150 of N=200 -> idf < 0
+        rows.append((d, "neg", 8 if d < 10 else 10, 100))
+    for d in range(10):
+        rows.append((d, "pos", 4, 100))
+    rows.append((180, "pos", 3, 100))  # pos-only doc: true rank-1
+    posts = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len long")
+    n, avgdl, k = 200, 100.0, 5
+    lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(spark, [(1, "pos neg", DISJUNCTIVE), (2, "pos neg", CONJUNCTIVE)])
+    truth = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in topk(posts, lex, qt, n, avgdl, k=k).collect()
+    )
+    assert truth[0][2] == 180  # the adversarial doc really is rank-1
+    blocks = build_block_index(posts, avgdl, bucket_span=64).cache()
+    for ev in ("vectorized", "cursor"):
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(blocks, lex, qt, n, avgdl, k=k, evaluator=ev).collect()
+        )
+        assert got == truth, ev
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(blocks, lex, qt, n, avgdl, k=k).collect()
+    )
+    assert got == truth
+    blocks.unpersist()
