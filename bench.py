@@ -201,9 +201,15 @@ def main() -> None:
 
         rare_and_skipping = skip_study()
 
-        # per-query latency distribution (the BASELINE metric names "BM25
-        # top-k query latency"): each query as its own job, like the
-        # reference's interactive loop (hw3/DataLoader.cpp:483-545)
+        # per-query latency (the BASELINE metric names "BM25 top-k query
+        # latency"), two regimes so the reference comparison (0.1-8 s
+        # in-band) is apples-to-apples:
+        #  * cold/per-job: each query as its own Spark job, like the
+        #    reference's interactive loop (hw3/DataLoader.cpp:483-545) —
+        #    floored by Spark job-launch overhead (~1 s), not scoring;
+        #  * marginal/amortized: per-query marginal time inside a warm
+        #    session, from the multi-query jobs above (total wall / n) —
+        #    the steady-state cost a query adds to a running service.
         lat = []
         for q in BENCH_QUERIES[:12]:
             qt1 = query_terms_df(spark, [q])
@@ -212,10 +218,12 @@ def main() -> None:
             lat.append(time.perf_counter() - t0)
         lat.sort()
         latency = {
-            "p50_s": round(lat[len(lat) // 2], 4),
-            "p95_s": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)], 4),
-            "min_s": round(lat[0], 4),
-            "max_s": round(lat[-1], 4),
+            "cold_p50_s": round(lat[len(lat) // 2], 4),
+            "cold_p95_s": round(lat[min(int(len(lat) * 0.95), len(lat) - 1)], 4),
+            "cold_min_s": round(lat[0], 4),
+            "cold_max_s": round(lat[-1], 4),
+            "marginal_16q_s": round(timings["wand_topk_all"] / len(BENCH_QUERIES), 4),
+            "marginal_batch_s": round(timings["wand_batch_512q"] / 512, 5),
         }
 
         # exhaustive (uncompressed) path for comparison
@@ -279,25 +287,38 @@ def main() -> None:
 
         total = round(sum(timings.values()), 4)
         n_queries = len(BENCH_QUERIES)
-        print(
-            json.dumps(
-                {
-                    "metric": "index_build_plus_query_wall",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "n_docs": n_docs,
-                    "docs_per_sec": round(n_docs / timings["index_build"], 2),
-                    "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
-                    "bm25_batch_queries_per_sec": round(512 / timings["wand_batch_512q"], 2),
-                    "bm25_query_latency": latency,
-                    "pruning": pruning,
-                    "rare_and_skipping": rare_and_skipping,
-                    "cpus": cpus,
-                }
-            )
+        # Evidence dicts (per-query pruning ratios, chunk-vs-block skipping
+        # study) go to EARLIER stdout lines + a side file: the driver keeps
+        # only the tail of stdout and must be able to parse the FINAL line,
+        # so that line stays a compact headline (< ~1500 chars).
+        evidence = {"pruning": pruning, "rare_and_skipping": rare_and_skipping}
+        for key, val in evidence.items():
+            print(json.dumps({"evidence": key, key: val}))
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_EVIDENCE.json"), "w"
+            ) as f:
+                json.dump(evidence, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: the stdout lines above still carry it
+        headline = json.dumps(
+            {
+                "metric": "index_build_plus_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / timings["index_build"], 2),
+                "bm25_queries_per_sec": round(n_queries / timings["wand_topk_all"], 2),
+                "bm25_batch_queries_per_sec": round(512 / timings["wand_batch_512q"], 2),
+                "bm25_query_latency": latency,
+                "cpus": cpus,
+            }
         )
+        assert len(headline) < 1500, f"headline line too long: {len(headline)}"
+        print(headline)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
