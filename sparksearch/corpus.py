@@ -192,13 +192,19 @@ def assign_dense_ids(
     return parted.mapInPandas(add_ids, schema=out_schema)
 
 
-def documents_from_corpus(corpus: DataFrame) -> DataFrame:
+def documents_from_corpus(corpus: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """Canonical documents table from the (repo,path,commit,lang,content) corpus.
 
-    docID ordering contract: dense ids in (repo, path) order — the stable
-    replacement for the reference's parse-arrival order (SURVEY.md §1.1).
+    docID ordering contract: dense ids in ``order_cols`` order (default
+    (repo, path) — the stable replacement for the reference's
+    parse-arrival order, SURVEY.md §1.1).  Alternative orderings are an
+    index-layout knob: e.g. length-ordered ids (document reordering)
+    concentrate BM25 score mass along the doc_id axis, which makes
+    per-bucket score bounds discriminative and lets the batch evaluator's
+    bound-skipping fire (wand.py wand_topk_batch) — see
+    ``length_ordered_documents``.
     """
-    with_ids = assign_dense_ids(corpus, ["repo", "path"])
+    with_ids = assign_dense_ids(corpus, order_cols or ["repo", "path"])
     return with_ids.select(
         "doc_id",
         "repo",
@@ -209,6 +215,23 @@ def documents_from_corpus(corpus: DataFrame) -> DataFrame:
         F.length("content").cast("long").alias("doc_len"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
+
+
+def length_ordered_documents(corpus: DataFrame) -> DataFrame:
+    """Documents with docIDs assigned in ascending content-length order.
+
+    Document reordering: BM25's length norm makes short docs score high,
+    so length-ordered ids give every (term, bucket) a tight, monotone
+    tf_norm range — block-max bounds then separate buckets sharply and
+    WAND-style skipping (per-query and batch) prunes most of the index
+    for top-k queries.  Delta-gap compression also improves because
+    similar docs cluster.  (repo, path) tie-breaks keep the key unique.
+    """
+    keyed = corpus.withColumn(
+        "__len_key", F.lpad(F.length("content").cast("string"), 10, "0")
+    )
+    out = documents_from_corpus(keyed, ["__len_key", "repo", "path"])
+    return out.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
 
 
 def documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:

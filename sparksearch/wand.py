@@ -389,6 +389,8 @@ def wand_topk_batch(
     n_docs: int,
     avg_doc_len: float,
     k: int = TOP_K,
+    prune: bool | str = "auto",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): DOC-PARTITIONED batch evaluation —
     the throughput architecture for large query sets.
@@ -410,7 +412,40 @@ def wand_topk_batch(
     so per-bucket scoring is complete per doc (conjunctive count filters
     stay correct) and the global top-k is a merge of per-bucket top-k.
     Rank-identical to :func:`wand_topk` (cross-tested).
+
+    ``prune=True`` adds per-(query, bucket) score-bound skipping — the
+    batch-mode analog of the reference's chunk skipping
+    (hw3/DataLoader.cpp:793-806) and of the per-query evaluators' range
+    skip.  Two cheap preliminary jobs derive a θ lower bound per query:
+
+    1. a metadata-only aggregate (no payload bytes) of per-(bucket, term)
+       max/min tf_norm gives each query a score bound per bucket; the
+       bucket with the highest bound is the query's *seed* bucket;
+    2. seed buckets are scored exactly (each query only in its own seed);
+       the k-th best seed score is a sound lower bound θ_q on the final
+       global k-th score.
+
+    The main pass broadcasts {query: θ_q} and each bucket skips the dense
+    evaluation of any query whose bucket bound falls below θ_q (with a
+    1e-9-relative float-safety margin — skipped work, never skipped
+    correctness).  The seed bucket itself always survives its own bound
+    (θ_q is achieved inside it), so the main pass is self-contained.
+
+    ``prune="auto"`` (default) gates the θ-derivation job on a skip-
+    potential estimate from the metadata pass alone: bound-skipping can
+    only fire where per-bucket score bounds VARY across buckets (doc-
+    ordered heterogeneity — repo-sorted or time-ordered corpora), and on a
+    uniform corpus every bucket's bound beats θ, so the extra job would be
+    pure overhead.  If fewer than 5% of (query, bucket) pairs have a bound
+    meaningfully below the query's best bucket bound, pruning is skipped.
+    ``prune=True`` forces it; ``prune=False`` disables (single-job path).
+    ``stats_out`` (optional dict) receives accumulators
+    ``query_evals_total`` / ``query_evals_skipped`` (None when the gate
+    declined); read ``.value`` after an action (task-retry-approximate,
+    evidence only).
     """
+    spark = blocks.sparkSession
+    sc = spark.sparkContext
     rows = qterms.select("query_id", "term", "weight", "mode", "n_terms").collect()
     vocab = sorted({r["term"] for r in rows})
     lex_rows = {
@@ -427,92 +462,37 @@ def wand_topk_batch(
         df = lex_rows.get(r["term"], 0)
         idf = math.log((n_docs - df + 0.5) / (df + 0.5))
         q["terms"][r["term"]] = (float(r["weight"]), idf)
-    bq = blocks.sparkSession.sparkContext.broadcast(queries)
+    bq = sc.broadcast(queries)
 
     sel = blocks.filter(F.col("term").isin(vocab))
 
-    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        qs = bq.value
-        # decode each term once for this bucket
-        decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
-        lo = None
-        hi = None
-        for term, tb in pdf.groupby("term", sort=False):
-            tb = tb.sort_values(["bucket", "block_id"])
-            d_parts, n_parts = [], []
-            for b in tb.itertuples(index=False):
-                docs, tfs, dls = decode_block(
-                    bytes(b.payload),
-                    np.asarray(b.docid_sizes),
-                    np.asarray(b.tf_sizes),
-                    np.asarray(b.dl_sizes),
-                )
-                d_parts.append(docs)
-                n_parts.append(
-                    tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avg_doc_len)
-                )
-            docs = np.concatenate(d_parts)
-            decoded.append((term, docs, np.concatenate(n_parts)))
-            lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
-            hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
-        if not decoded:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": np.int32, "doc_id": np.int64, "score": np.float64}
-            )
-
-        # dense per-bucket accumulators (the reference's TAAT dense score
-        # array, hw3/DataLoader.cpp:376-392, applied per doc range): one
-        # bincount per TERM, then each query is a few dense vector adds —
-        # no per-query sort/unique (that variant saturated the memory bus
-        # and anti-scaled at 32 cores).
-        span = hi - lo + 1
-        term_dense: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for term, docs, norms in decoded:
-            off = (docs - lo).astype(np.int64)
-            dn = np.bincount(off, weights=norms, minlength=span)
-            mask = np.zeros(span, np.int16)
-            mask[off] = 1
-            term_dense[term] = (dn, mask)
-
-        out_q: list[np.ndarray] = []
-        out_d: list[np.ndarray] = []
-        out_s: list[np.ndarray] = []
-        for qid, q in qs.items():
-            present = [t for t in q["terms"] if t in term_dense]
-            if not present:
-                continue
-            if q["mode"] == CONJUNCTIVE and len(present) < q["n_terms"]:
-                continue
-            score = None
-            cnt = None
+    def query_bound(q: dict, term_stats: dict) -> float | None:
+        """Score bound for one query over one bucket, from per-(bucket,
+        term) max/min tf_norm; None = the query cannot match here at all.
+        Same term order and multiplication shape as the scoring loop, so
+        the bound dominates every achieved score under fp monotonicity."""
+        present = [t for t in q["terms"] if t in term_stats]
+        if not present:
+            return None
+        if q["mode"] == CONJUNCTIVE:
+            if len(present) < q["n_terms"]:
+                return None
+            acc = 0.0
             for t in present:
-                dn, mask = term_dense[t]
                 w, idf = q["terms"][t]
-                contrib = (w * idf) * dn
-                score = contrib if score is None else score + contrib
-                cnt = mask.copy() if cnt is None else cnt + mask
-            sel = cnt == q["n_terms"] if q["mode"] == CONJUNCTIVE else cnt > 0
-            docs_sel = np.flatnonzero(sel)
-            if len(docs_sel) == 0:
-                continue
-            scores_sel = score[docs_sel]
-            if len(docs_sel) > k:  # local top-k, tie-break (score desc, doc asc)
-                order = np.lexsort((docs_sel, -scores_sel))[:k]
-                docs_sel, scores_sel = docs_sel[order], scores_sel[order]
-            out_q.append(np.full(len(docs_sel), qid, np.int32))
-            out_d.append(docs_sel + lo)
-            out_s.append(scores_sel)
-        if not out_q:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": np.int32, "doc_id": np.int64, "score": np.float64}
-            )
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d).astype(np.int64),
-                "score": np.concatenate(out_s),
-            }
-        )
+                mx, mn = term_stats[t]
+                acc += (w * idf) * (mx if idf >= 0 else mn)
+            return acc
+        acc_pos, best_single = 0.0, float("-inf")
+        for t in present:
+            w, idf = q["terms"][t]
+            mx, mn = term_stats[t]
+            bd = (w * idf) * (mx if idf >= 0 else mn)
+            if bd > 0.0:
+                acc_pos += bd
+            if bd > best_single:
+                best_single = bd
+        return _disjunctive_bound(acc_pos, best_single)
 
     cand_schema = T.StructType(
         [
@@ -521,7 +501,247 @@ def wand_topk_batch(
             T.StructField("score", T.DoubleType(), False),
         ]
     )
-    cands = sel.groupBy("bucket").applyInPandas(per_bucket, schema=cand_schema)
+    _EMPTY = {"query_id": np.int32, "doc_id": np.int64, "score": np.float64}
+
+    def make_scorer(restrict_bc, theta_bc, acc_total, acc_skipped):
+        """Build the per-bucket scorer.  restrict_bc: {bucket: [qid]} to
+        score only each query's seed bucket (θ-derivation pass);
+        theta_bc: {qid: θ} to bound-skip queries (main pruned pass)."""
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            qs = bq.value
+            bucket_id = int(pdf["bucket"].iloc[0])
+            if restrict_bc is not None:
+                qitems = [(qid, qs[qid]) for qid in restrict_bc.value.get(bucket_id, ())]
+                if not qitems:
+                    return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+            else:
+                qitems = list(qs.items())
+            # decode each term once for this bucket; track per-term
+            # max/min tf_norm over its blocks for the bound check
+            decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
+            term_stats: dict[str, tuple[float, float]] = {}
+            lo = None
+            hi = None
+            for term, tb in pdf.groupby("term", sort=False):
+                tb = tb.sort_values(["bucket", "block_id"])
+                d_parts, n_parts = [], []
+                for b in tb.itertuples(index=False):
+                    docs, tfs, dls = decode_block(
+                        bytes(b.payload),
+                        np.asarray(b.docid_sizes),
+                        np.asarray(b.tf_sizes),
+                        np.asarray(b.dl_sizes),
+                    )
+                    d_parts.append(docs)
+                    n_parts.append(
+                        tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avg_doc_len)
+                    )
+                docs = np.concatenate(d_parts)
+                decoded.append((term, docs, np.concatenate(n_parts)))
+                term_stats[term] = (
+                    float(tb["max_tf_norm"].max()),
+                    float(tb["min_tf_norm"].min()),
+                )
+                lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
+                hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
+            if not decoded:
+                return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+
+            # dense per-bucket accumulators (the reference's TAAT dense
+            # score array, hw3/DataLoader.cpp:376-392, applied per doc
+            # range): one bincount per TERM, then each query is a few dense
+            # vector adds — no per-query sort/unique (that variant
+            # saturated the memory bus and anti-scaled at 32 cores).
+            # Sparse-span guard (mirrors blockmax_vectorized_topk): an
+            # unbucketed index (bucket_span=None) or a sparse doc-id subset
+            # must not allocate span-sized arrays — remap doc_ids to a
+            # compact 0..n_unique-1 space first.
+            total_len = sum(len(d) for _, d, _ in decoded)
+            span = hi - lo + 1
+            if span > max(4 * total_len, 1 << 16):
+                id_map = np.unique(np.concatenate([d for _, d, _ in decoded]))
+                span = len(id_map)
+
+                def to_off(docs: np.ndarray) -> np.ndarray:
+                    return np.searchsorted(id_map, docs)
+
+            else:
+                id_map = None
+
+                def to_off(docs: np.ndarray) -> np.ndarray:
+                    return (docs - lo).astype(np.int64)
+
+            term_dense: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, docs, norms in decoded:
+                off = to_off(docs)
+                dn = np.bincount(off, weights=norms, minlength=span)
+                mask = np.zeros(span, np.int16)
+                mask[off] = 1
+                term_dense[term] = (dn, mask)
+
+            thetas = theta_bc.value if theta_bc is not None else None
+            out_q: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for qid, q in qitems:
+                present = [t for t in q["terms"] if t in term_dense]
+                if not present:
+                    continue
+                if q["mode"] == CONJUNCTIVE and len(present) < q["n_terms"]:
+                    continue
+                if thetas is not None:
+                    if acc_total is not None:
+                        acc_total.add(1)
+                    tq = thetas.get(qid)
+                    if tq is not None:
+                        bound = query_bound(q, term_stats)
+                        # strict less-than with a relative float-safety
+                        # margin: skipped work can never change results
+                        if bound is not None and bound < tq - 1e-9 * max(1.0, abs(tq)):
+                            if acc_skipped is not None:
+                                acc_skipped.add(1)
+                            continue
+                score = None
+                cnt = None
+                for t in present:
+                    dn, mask = term_dense[t]
+                    w, idf = q["terms"][t]
+                    contrib = (w * idf) * dn
+                    score = contrib if score is None else score + contrib
+                    cnt = mask.copy() if cnt is None else cnt + mask
+                keep = cnt == q["n_terms"] if q["mode"] == CONJUNCTIVE else cnt > 0
+                docs_sel = np.flatnonzero(keep)
+                if len(docs_sel) == 0:
+                    continue
+                scores_sel = score[docs_sel]
+                if len(docs_sel) > k:  # local top-k, tie (score desc, doc asc)
+                    order = np.lexsort((docs_sel, -scores_sel))[:k]
+                    docs_sel, scores_sel = docs_sel[order], scores_sel[order]
+                out_q.append(np.full(len(docs_sel), qid, np.int32))
+                out_d.append(docs_sel + lo if id_map is None else id_map[docs_sel])
+                out_s.append(scores_sel)
+            if not out_q:
+                return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d).astype(np.int64),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        return per_bucket
+
+    theta_bc = None
+    acc_total = acc_skipped = None
+    if prune:
+        # pass 1 (metadata only, payload column pruned away): per-(bucket,
+        # term) norm extremes -> per-query bound over every bucket, seed
+        # bucket (highest bound), and the skip-potential gate.  All numpy
+        # over a (n_buckets,) axis per query term — no Python loop over
+        # buckets, so 10^4 buckets x 10^3 queries stays driver-cheap.
+        meta = (
+            sel.groupBy("bucket", "term")
+            .agg(F.max("max_tf_norm").alias("mx"), F.min("min_tf_norm").alias("mn"))
+            .collect()
+        )
+        buckets_sorted = sorted({int(r["bucket"]) for r in meta})
+        bk_pos = {bk: i for i, bk in enumerate(buckets_sorted)}
+        n_b = len(buckets_sorted)
+        term_arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for r in meta:
+            t = r["term"]
+            if t not in term_arrays:
+                term_arrays[t] = (
+                    np.zeros(n_b),
+                    np.zeros(n_b),
+                    np.zeros(n_b, bool),
+                )
+            mx, mn, pres = term_arrays[t]
+            i = bk_pos[int(r["bucket"])]
+            mx[i], mn[i], pres[i] = float(r["mx"]), float(r["mn"]), True
+        seed_of: dict[int, int] = {}
+        potential_pairs = 0
+        valid_pairs = 0
+        for qid, q in queries.items():
+            conj = q["mode"] == CONJUNCTIVE
+            all_present = np.ones(n_b, bool)
+            any_present = np.zeros(n_b, bool)
+            acc_sum = np.zeros(n_b)
+            acc_pos = np.zeros(n_b)
+            best_term = np.full(n_b, -np.inf)
+            missing_term = False
+            for t, (w, idf) in q["terms"].items():
+                arr = term_arrays.get(t)
+                if arr is None:
+                    missing_term = True
+                    continue
+                mx, mn, pres = arr
+                bd = (w * idf) * (mx if idf >= 0 else mn)
+                acc_sum += np.where(pres, bd, 0.0)
+                acc_pos += np.where(pres & (bd > 0), bd, 0.0)
+                best_term = np.maximum(best_term, np.where(pres, bd, -np.inf))
+                all_present &= pres
+                any_present |= pres
+            if conj:
+                valid = np.zeros(n_b, bool) if missing_term else all_present
+                bound = acc_sum
+            else:
+                valid = any_present
+                bound = np.where(acc_pos > 0, acc_pos, best_term)
+            if not valid.any():
+                continue
+            b_masked = np.where(valid, bound, -np.inf)
+            best_i = int(np.argmax(b_masked))
+            seed_of[qid] = buckets_sorted[best_i]
+            # gate estimate: θ lands in the bulk of achievable scores, so a
+            # bucket is plausibly skippable when its bound sits clearly
+            # below the MEDIAN bound (not the best — a single rare-term
+            # bucket would make every other bucket look skippable when the
+            # real θ is far lower).  Uniform corpora cluster within ~5% of
+            # the median -> zero potential -> gate declines.
+            vb = bound[valid]
+            ref = float(np.median(vb))
+            margin = 0.05 * max(1.0, abs(ref))
+            valid_pairs += int(valid.sum())
+            potential_pairs += int((vb < ref - margin).sum())
+        if prune == "auto" and (
+            valid_pairs == 0 or potential_pairs / valid_pairs < 0.05
+        ):
+            seed_of = {}  # uniform bounds: θ job cannot pay for itself
+        if seed_of:
+            # pass 2: exact scores in each query's seed bucket -> θ_q =
+            # k-th best there (a sound lower bound on the global k-th)
+            by_seed: dict[int, list[int]] = {}
+            for qid, bk in seed_of.items():
+                by_seed.setdefault(bk, []).append(qid)
+            restrict_bc = sc.broadcast(by_seed)
+            seed_rows = (
+                sel.filter(F.col("bucket").isin(sorted(by_seed)))
+                .groupBy("bucket")
+                .applyInPandas(make_scorer(restrict_bc, None, None, None), schema=cand_schema)
+                .collect()
+            )
+            by_q_scores: dict[int, list[float]] = {}
+            for r in seed_rows:
+                by_q_scores.setdefault(int(r["query_id"]), []).append(float(r["score"]))
+            thetas = {
+                qid: sorted(ss, reverse=True)[k - 1]
+                for qid, ss in by_q_scores.items()
+                if len(ss) >= k
+            }
+            if thetas:
+                theta_bc = sc.broadcast(thetas)
+                acc_total = sc.accumulator(0)
+                acc_skipped = sc.accumulator(0)
+    if stats_out is not None:
+        stats_out["query_evals_total"] = acc_total
+        stats_out["query_evals_skipped"] = acc_skipped
+
+    cands = sel.groupBy("bucket").applyInPandas(
+        make_scorer(None, theta_bc, acc_total, acc_skipped), schema=cand_schema
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -186,3 +186,64 @@ def test_negative_idf_mix_disjunctive_bounds(spark):
     )
     assert got == truth
     blocks.unpersist()
+
+
+def test_batch_sparse_span_guard(spark):
+    """A sparse doc-id subset over a huge id range (unbucketed index /
+    bucket_span=None) must not allocate span-sized dense arrays: the
+    guard remaps ids to a compact space.  Without it this test would try
+    to allocate ~10^11-element arrays and die."""
+    big = 10**10
+    rows = []
+    for i in range(50):
+        rows.append((i * (big // 50) + 7, "alpha", 1 + i % 3, 120))
+        if i % 2 == 0:
+            rows.append((i * (big // 50) + 7, "beta", 2, 120))
+    posts = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len long")
+    lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(
+        spark, [(1, "alpha beta", DISJUNCTIVE), (2, "alpha beta", CONJUNCTIVE)]
+    )
+    n, avgdl = 100, 120.0
+    truth = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in topk(posts, lex, qt, n, avgdl, k=10).collect()
+    )
+    blocks = build_block_index(posts, avgdl)  # single bucket spanning 10^10 ids
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(blocks, lex, qt, n, avgdl, k=10).collect()
+    )
+    assert got == truth
+
+
+def test_batch_prune_skips_and_identical(spark):
+    """Bound-skipping (prune=True) on a corpus whose BM25 norms drift
+    monotonically with doc_id (doc length rising — the length-ordered
+    layout) must skip most (query, bucket) evaluations and stay
+    rank-identical to the unpruned path.  With doc_len = 50 + 2d every
+    bucket past the first has max_norm below the global 20th-best score,
+    so 9 of 10 alpha-buckets are skippable per query."""
+    rows = []
+    for d in range(1000):  # df=1000 of N=4000 -> both terms positive idf
+        rows.append((d, "alpha", 1, 50 + 2 * d))
+        rows.append((d, "beta", 1, 50 + 2 * d))
+    posts = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len long")
+    n, avgdl = 4000, 100.0
+    lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(
+        spark, [(1, "alpha beta", DISJUNCTIVE), (2, "alpha beta", CONJUNCTIVE)]
+    )
+    blocks = build_block_index(posts, avgdl, bucket_span=100).cache()
+    blocks.count()
+    off = wand_topk_batch(blocks, lex, qt, n, avgdl, prune=False)
+    stats: dict = {}
+    on = wand_topk_batch(blocks, lex, qt, n, avgdl, prune=True, stats_out=stats)
+    a = sorted(map(tuple, off.collect()))
+    b = sorted(map(tuple, on.collect()))
+    assert a == b
+    assert stats["query_evals_skipped"] is not None
+    skipped = stats["query_evals_skipped"].value
+    total = stats["query_evals_total"].value
+    assert skipped >= total // 2 > 0, (skipped, total)
+    blocks.unpersist()
