@@ -94,7 +94,9 @@ class TermCursor:
             else:  # index persisted before chunk metadata: block-level bound
                 cmax = np.full(n_chunks, float(b.max_tf_norm))
                 cmin = np.full(n_chunks, float(b.min_tf_norm))
-            bounds.append(weight * (idf * cmax if idf >= 0 else idf * cmin))
+            # same op shape as the score computation ((w*idf)*norm) so the
+            # fp-monotonicity bound argument holds exactly
+            bounds.append((weight * idf) * (cmax if idf >= 0 else cmin))
             lasts.append(np.asarray(b.last_doc_ids, np.int64))
             payload = bytes(b.payload)
             for i in range(n_chunks):
@@ -284,6 +286,18 @@ def blockmax_vectorized_topk(
     The reference analog is TAAT with per-chunk last_docID skipping
     (hw3/DataLoader.cpp:773-864) — ours skips on score bounds, per
     north_star.
+
+    Inside a surviving bucket, per-chunk metadata refines the skip to
+    SUB-bucket granularity (the reference's 64-posting chunk): the union
+    of all terms' chunk-end doc_ids partitions the bucket into elementary
+    intervals; each interval's bound combines every term's covering-chunk
+    bound (mode-aware, as above).  Only chunks overlapping a surviving
+    interval decode, and scored docs are masked to surviving intervals —
+    docs of skipped intervals may carry PARTIAL sums (a skipped chunk of
+    one term can share docs with a decoded chunk of another), so they are
+    discarded, which is sound because their full score is bounded ≤ θ.
+    When every interval survives (hot queries) the whole-block
+    one-pass-per-stream decoder is used instead of per-chunk decode.
     """
     chunks_total = int(pdf["n_chunks"].sum())
     chunks_decoded = 0
@@ -325,6 +339,7 @@ def blockmax_vectorized_topk(
         for bk in bucket_sum
     }
 
+    has_chunk_meta = "chunk_max_norms" in pdf.columns
     topk_docs = np.zeros(0, np.int64)
     topk_scores = np.zeros(0)
     theta = float("-inf")
@@ -333,20 +348,101 @@ def blockmax_vectorized_topk(
             continue  # some query term has no postings in this doc range
         if len(topk_docs) >= k and bucket_bounds[bk] <= theta:
             continue  # range-level block-max skip: payloads never decoded
-        doc_parts, score_parts = [], []
+        tblocks: dict[str, list] = {}
         for term, b in bucket_blocks[bk]:
-            weight, idf, _ = terms[term]
-            chunks_decoded += int(b.n_chunks)
-            docs, tfs, dls = decode_block(
-                bytes(b.payload),
-                np.asarray(b.docid_sizes),
-                np.asarray(b.tf_sizes),
-                np.asarray(b.dl_sizes),
-            )
-            doc_parts.append(docs)
-            score_parts.append(
-                weight * idf * tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avg_dl)
-            )
+            tblocks.setdefault(term, []).append(b)
+        for bs in tblocks.values():
+            bs.sort(key=lambda b: b.block_id)
+
+        doc_parts, score_parts = [], []
+        kept_edges = None  # (edges, kept) when interval-level skipping fired
+        if len(topk_docs) >= k and has_chunk_meta:
+            # sub-bucket skip: elementary intervals from the union of all
+            # terms' chunk-end doc_ids, bounded by covering-chunk metadata
+            metas = []
+            for term, bs in tblocks.items():
+                weight, idf, _ = terms[term]
+                wi = weight * idf
+                lasts = np.concatenate([np.asarray(b.last_doc_ids, np.int64) for b in bs])
+                key = "chunk_max_norms" if idf >= 0 else "chunk_min_norms"
+                cb = np.concatenate([np.asarray(getattr(b, key), np.float64) for b in bs])
+                metas.append((term, wi, lasts, wi * cb, bs))
+            edges = np.unique(np.concatenate([m[2] for m in metas]))
+            n_iv = len(edges)
+            if mode == CONJUNCTIVE:
+                iv_bound = np.zeros(n_iv)
+                iv_valid = np.ones(n_iv, bool)
+            else:
+                iv_pos = np.zeros(n_iv)
+                iv_best = np.full(n_iv, -np.inf)
+            covers = []
+            for term, wi, lasts, cbd, bs in metas:
+                # interval i = (edges[i-1], edges[i]]; its covering chunk
+                # for this term is the first with last_doc_id >= edges[i]
+                cover = np.searchsorted(lasts, edges, side="left")
+                covered = cover < len(lasts)
+                bd = np.where(covered, cbd[np.minimum(cover, len(lasts) - 1)], 0.0)
+                covers.append((cover, covered))
+                if mode == CONJUNCTIVE:
+                    iv_valid &= covered
+                    iv_bound += bd
+                else:
+                    iv_pos += np.where(covered & (bd > 0), bd, 0.0)
+                    iv_best = np.maximum(iv_best, np.where(covered, bd, -np.inf))
+            if mode == CONJUNCTIVE:
+                kept = iv_valid & (iv_bound > theta)
+            else:
+                kept = np.where(iv_pos > 0, iv_pos, iv_best) > theta
+            if not kept.any():
+                continue  # interval bounds are tighter than the bucket's
+            if not kept.all():
+                kept_edges = (edges, kept)
+                for (term, wi, lasts, cbd, bs), (cover, covered) in zip(metas, covers):
+                    keep_chunk = np.zeros(len(lasts), bool)
+                    np.logical_or.at(keep_chunk, cover[covered], kept[covered])
+                    ci = 0
+                    for b in bs:
+                        nb = len(b.last_doc_ids)
+                        if keep_chunk[ci : ci + nb].any():
+                            s, d_end, t_end, l_end = chunk_offsets(
+                                np.asarray(b.docid_sizes),
+                                np.asarray(b.tf_sizes),
+                                np.asarray(b.dl_sizes),
+                            )
+                            payload = bytes(b.payload)
+                            for j in range(nb):
+                                if keep_chunk[ci + j]:
+                                    docs, tfs, dls = decode_chunk(
+                                        payload, int(s[j]), int(d_end[j]),
+                                        int(t_end[j]), int(l_end[j]),
+                                    )
+                                    doc_parts.append(docs)
+                                    score_parts.append(
+                                        wi * tf_norm(
+                                            tfs.astype(np.float64),
+                                            dls.astype(np.float64), avg_dl,
+                                        )
+                                    )
+                        ci += nb
+                    chunks_decoded += int(keep_chunk.sum())
+        if kept_edges is None:  # hot path: whole-block one-pass decode
+            for term, bs in tblocks.items():
+                weight, idf, _ = terms[term]
+                wi = weight * idf
+                for b in bs:
+                    chunks_decoded += int(b.n_chunks)
+                    docs, tfs, dls = decode_block(
+                        bytes(b.payload),
+                        np.asarray(b.docid_sizes),
+                        np.asarray(b.tf_sizes),
+                        np.asarray(b.dl_sizes),
+                    )
+                    doc_parts.append(docs)
+                    score_parts.append(
+                        wi * tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avg_dl)
+                    )
+        if not doc_parts:
+            continue
         all_docs = np.concatenate(doc_parts)
         all_scores = np.concatenate(score_parts)
         b_lo = int(all_docs.min())
@@ -368,6 +464,12 @@ def blockmax_vectorized_topk(
             if mode == CONJUNCTIVE:
                 keep = cnt == n_terms
                 uniq, sums = uniq[keep], sums[keep]
+        if kept_edges is not None and len(uniq):
+            # docs in skipped intervals may carry partial sums — discard
+            # (their full score is bounded <= θ, so never top-k material)
+            edges, kept = kept_edges
+            m = kept[np.searchsorted(edges, uniq, side="left")]
+            uniq, sums = uniq[m], sums[m]
         if len(uniq) == 0:
             continue
         # vectorized bounded top-k merge, tie-break (score desc, doc asc)

@@ -247,3 +247,34 @@ def test_batch_prune_skips_and_identical(spark):
     total = stats["query_evals_total"].value
     assert skipped >= total // 2 > 0, (skipped, total)
     blocks.unpersist()
+
+
+def test_vectorized_chunk_skipping_decodes_less(spark):
+    """Interval-level (per-chunk) bounds must let the vectorized evaluator
+    skip chunks INSIDE a surviving bucket: bucket 1 contains a burst of
+    very short docs (high norms — its bucket bound beats θ) followed by
+    long docs whose chunks bound below θ, so only the leading chunks
+    decode.  Output must stay identical to the exhaustive path."""
+    rows = []
+    for d in range(1000):
+        dl = 10 if 512 <= d < 520 else 50 + 2 * d
+        rows.append((d, "alpha", 1, dl))
+        rows.append((d, "beta", 1, dl))
+    posts = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len long")
+    n, avgdl = 4000, 100.0
+    lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(spark, [(1, "alpha beta", DISJUNCTIVE)])
+    blocks = build_block_index(posts, avgdl, bucket_span=512).cache()
+    blocks.count()
+    truth = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in topk(posts, lex, qt, n, avgdl).collect()
+    )
+    out = wand_topk(
+        blocks, lex, qt, n, avgdl, evaluator="vectorized", with_stats=True
+    ).collect()
+    got = sorted((r["rank"], r["doc_id"], round(r["score"], 9)) for r in out)
+    assert got == truth
+    t, d = int(out[0]["chunks_total"]), int(out[0]["chunks_decoded"])
+    assert d < t, (d, t)
+    blocks.unpersist()
