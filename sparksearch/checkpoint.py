@@ -45,16 +45,26 @@ def _fingerprint(obj) -> str:
 
 def dataframe_fingerprint(df: DataFrame, columns: list[str] | None = None) -> str:
     """Order-independent content fingerprint of a DataFrame: row count +
-    bit-XOR of a 60-bit hash of the selected columns (one columnar scan,
-    partitioning-independent).  Used as the ROOT stage's resume key so a
-    rerun with different input data never resumes a stale snapshot; pick a
-    cheap column subset (e.g. doc_id + content_sha256) at scale."""
+    bit-XOR + modular SUM of a 60-bit hash of the selected columns (one
+    columnar scan, partitioning-independent).  Used as the ROOT stage's
+    resume key so a rerun with different input data never resumes a stale
+    snapshot; pick a cheap column subset (e.g. doc_id + content_sha256) at
+    scale.  XOR alone cancels on even-multiplicity changes (swapping one
+    identical-row pair for another leaves count+XOR unchanged — ADVICE r2);
+    the additive component breaks that symmetry.  The sum aggregates in
+    decimal(38,0) (n*2^60 overflows long at ~8 rows) and is reduced mod
+    2^63 for the key."""
     from .analysis import md5_hash60
 
     cols = columns or df.columns
     h = md5_hash60(F.to_json(F.struct(*[F.col(c) for c in cols])))
-    row = df.agg(F.count(F.lit(1)).alias("n"), F.bit_xor(h).alias("x")).collect()[0]
-    return f"{int(row['n'])}:{int(row['x'] or 0):x}"
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(h).alias("x"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    s = int(row["s"] or 0) % (1 << 63)
+    return f"{int(row['n'])}:{int(row['x'] or 0):x}:{s:x}"
 
 
 @dataclass

@@ -1,5 +1,15 @@
 """Deduplication operators — exact and near-dup, designed for 100 TB corpora.
 
+Cache lifecycle (ADVICE r2): the shingle / signature / fingerprint
+intermediates are ``persist()``-ed because each feeds several subplans of
+the RETURNED lazy DataFrame, so this module cannot unpersist them before
+the caller's action runs.  Spark's ContextCleaner releases the blocks once
+the returned plan is garbage-collected; a long-lived session issuing many
+dedup scans back-to-back can reclaim memory sooner via
+``spark.catalog.clearCache()`` or by unpersisting explicitly.  The blocks
+are MEMORY_AND_DISK and evictable, so accumulation degrades to recompute,
+never to OOM.
+
 Scale design notes (per operator):
 
 * exact: one shuffle keyed by content hash (uniform by construction — sha256

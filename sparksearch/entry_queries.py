@@ -221,6 +221,26 @@ def _register(name: str, fn, sql) -> None:
         ORACLE_SQL[name] = sql
 
 
+def _fixture_sf_guard(sf_dir: str) -> None:
+    """Fixture-backed oracles generate their expected rows from
+    $SPARK_GRAFT_TESTDATA (fixture_oracles.ORACLE_SF_DIR, default sf0.01)
+    while the Spark entry runs against the harness-passed ``sf_dir``; if
+    the two ever diverge the hard-check would fail spuriously (or pass
+    coincidentally).  Fail loudly at entry time instead."""
+    import os
+
+    from .fixture_oracles import ORACLE_SF_DIR
+
+    want = os.path.realpath(ORACLE_SF_DIR())
+    got = os.path.realpath(sf_dir)
+    if want != got:
+        raise ValueError(
+            f"fixture-backed entry got sf_dir={sf_dir!r} but its oracle "
+            f"generates from {want!r}; set SPARK_GRAFT_TESTDATA={sf_dir!r} "
+            f"so both sides read the same tables"
+        )
+
+
 # 1. doc table (SURVEY §2.1 S5; DocTable hw3/DocTable.cpp:25-102) + sha256
 #    invariant (input_hint: per-row content sha256 equality)
 _register(
@@ -382,7 +402,9 @@ _register(
 #        architecture: index shuffled once by doc bucket, queries broadcast,
 #        decode-once-score-many per bucket, per-bucket top-k merge) — must
 #        equal the same exhaustive SQL oracle rank-identically
-def _spark_topk_batch(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+def _spark_topk_batch(
+    spark: SparkSession, sf_dir: str, mode: str, prune: bool | str = "auto"
+) -> DataFrame:
     from .wand import wand_topk_batch
 
     docs = _docs(spark, sf_dir)
@@ -391,13 +413,16 @@ def _spark_topk_batch(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     lex = lexicon(postings).select("term", "df")
     blocks = build_block_index(postings, st["avg_doc_len"], bucket_span=128)
     qt = query_terms_df(spark, [q for q in QUERY_SET if q[2] == mode])
-    raw = wand_topk_batch(blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K + 30)
-    m = raw.select("query_id", "doc_id", micro(F.col("score")).alias("score_micro"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    return (
-        m.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "doc_id", "score_micro")
+    # micro_rank: bucket truncation + final window both rank on the
+    # micro-rounded key (a total order) — exactly k rows needed, no tie
+    # slack (ADVICE r2), and the oracle's (score_micro desc, doc_id asc)
+    # contract is matched structurally
+    raw = wand_topk_batch(
+        blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K,
+        prune=prune, micro_rank=True,
+    )
+    return raw.select(
+        "query_id", "rank", "doc_id", micro(F.col("score")).alias("score_micro")
     )
 
 
@@ -410,6 +435,14 @@ _register(
     "wand_batch_topk_and",
     lambda spark, sf_dir: _spark_topk_batch(spark, sf_dir, CONJUNCTIVE),
     _topk_sql(CONJUNCTIVE),
+)
+# same oracle with θ-skipping FORCED on (the adaptive gate declines on the
+# uniform driver testdata): hard-green proof that bound pruning never
+# changes results, checked by the driver itself
+_register(
+    "wand_batch_topk_pruned",
+    lambda spark, sf_dir: _spark_topk_batch(spark, sf_dir, DISJUNCTIVE, prune=True),
+    _topk_sql(DISJUNCTIVE),
 )
 
 # 10. exact dedup by sha256
@@ -785,6 +818,7 @@ FROM sim WHERE cs >= {COSINE_DUP_THRESHOLD}
 #     postings (fixture VALUES table): checks the distributed shuffle+encode
 #     pipeline against a single-node equivalent.
 def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fixture_sf_guard(sf_dir)
     docs = _docs(spark, sf_dir)
     st = collection_stats(docs)
     blocks = build_block_index(postings_from_documents(docs), st["avg_doc_len"])
@@ -817,6 +851,7 @@ def _snippets_entry(algo: str):
         from .snippets import attach_snippets
         from .tokenize import tokenize_text
 
+        _fixture_sf_guard(sf_dir)
         docs = _docs(spark, sf_dir)
         st = collection_stats(docs)
         postings = postings_from_documents(docs)
@@ -857,11 +892,11 @@ def _snippets_oracle(algo: str):
     return gen
 
 
-# two representative algorithms in the driver harness: the best-performing
-# scored variant (bm25) and the simplest positional variant (linear) — the
-# other four are oracle-checked the same way in tests/test_snippets.py
-_register("snippets_bm25", _snippets_entry("bm25"), _snippets_oracle("bm25"))
-_register("snippets_linear", _snippets_entry("linear"), _snippets_oracle("linear"))
+# all six reference snippet algorithms (hw3/Snippets.cpp; the 7th, the
+# external-service variant, is a documented non-goal) carry hard driver
+# oracles — one fixture per algorithm from the same parameterized twin
+for _algo in ("bm25", "linear", "prefix", "vsm", "weight", "keyword"):
+    _register(f"snippets_{_algo}", _snippets_entry(_algo), _snippets_oracle(_algo))
 
 
 # 24/25. multimodal plumbing (training-data pipeline): media table with

@@ -174,6 +174,15 @@ def ingest_batch(
         )
     os.makedirs(os.path.dirname(docs_dir), exist_ok=True)
     os.makedirs(os.path.dirname(blocks_dir), exist_ok=True)
+    # Visibility window (ADVICE r2, documented trade-off): docs land before
+    # blocks, so a concurrent read_index between the two renames can see
+    # this batch's docs (n_docs/avg_doc_len include them) while its
+    # postings are not yet queryable.  Acceptable under the single-WRITER
+    # assumption this module states — readers see a consistent index again
+    # after the blocks rename, and crash recovery treats blocks as the
+    # commit point (docs-without-blocks is repaired on restart).  A
+    # batch-root rename would make both visible atomically at the cost of
+    # rewriting both directory trees per batch.
     os.replace(docs_stage, docs_dir)
     os.replace(blocks_stage, blocks_dir)  # <- commit point
 

@@ -200,6 +200,13 @@ class _TopK:
         return [(-nd, s) for s, nd in sorted(self.heap, key=lambda x: (-x[0], -x[1]))]
 
 
+def _micro_i64(scores: np.ndarray) -> np.ndarray:
+    """round(score * 1e6) half-away-from-zero — the repo-wide *_micro
+    convention (matches Spark F.round HALF_UP and DuckDB round())."""
+    v = scores * 1e6
+    return np.where(v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5)).astype(np.int64)
+
+
 def _disjunctive_bound(acc_pos: float, best_single: float) -> float:
     """Sound upper bound for a doc containing >=1 of a term set whose
     per-term presence-conditional bounds have positive-sum ``acc_pos`` and
@@ -493,6 +500,7 @@ def wand_topk_batch(
     k: int = TOP_K,
     prune: bool | str = "auto",
     stats_out: dict | None = None,
+    micro_rank: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): DOC-PARTITIONED batch evaluation —
     the throughput architecture for large query sets.
@@ -545,6 +553,14 @@ def wand_topk_batch(
     ``query_evals_total`` / ``query_evals_skipped`` (None when the gate
     declined); read ``.value`` after an action (task-retry-approximate,
     evidence only).
+
+    ``micro_rank=True`` truncates each bucket's local top-k on the
+    micro-rounded key (round(score*1e6) half-away, desc, doc_id asc) —
+    a TOTAL order, so exactly k rows per bucket suffice for any consumer
+    that re-ranks on the micro score (the driver entries) with no tie
+    slack; the θ-skip margin widens to one micro quantum so pruning can
+    never drop a doc that ties at micro resolution.  Emitted scores stay
+    exact doubles either way.
     """
     spark = blocks.sparkSession
     sc = spark.sparkContext
@@ -698,9 +714,11 @@ def wand_topk_batch(
                     tq = thetas.get(qid)
                     if tq is not None:
                         bound = query_bound(q, term_stats)
-                        # strict less-than with a relative float-safety
-                        # margin: skipped work can never change results
-                        if bound is not None and bound < tq - 1e-9 * max(1.0, abs(tq)):
+                        # strict less-than with a float-safety margin (one
+                        # micro quantum under micro_rank so micro ties are
+                        # never skippable): skipped work, never results
+                        margin = 1e-9 * max(1.0, abs(tq)) + (1e-6 if micro_rank else 0.0)
+                        if bound is not None and bound < tq - margin:
                             if acc_skipped is not None:
                                 acc_skipped.add(1)
                             continue
@@ -718,7 +736,8 @@ def wand_topk_batch(
                     continue
                 scores_sel = score[docs_sel]
                 if len(docs_sel) > k:  # local top-k, tie (score desc, doc asc)
-                    order = np.lexsort((docs_sel, -scores_sel))[:k]
+                    rank_key = _micro_i64(scores_sel) if micro_rank else scores_sel
+                    order = np.lexsort((docs_sel, -rank_key))[:k]
                     docs_sel, scores_sel = docs_sel[order], scores_sel[order]
                 out_q.append(np.full(len(docs_sel), qid, np.int32))
                 out_d.append(docs_sel + lo if id_map is None else id_map[docs_sel])
@@ -846,7 +865,10 @@ def wand_topk_batch(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    rank_col = (
+        F.round(F.col("score") * 1e6, 0).cast("long") if micro_rank else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_col), F.asc("doc_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

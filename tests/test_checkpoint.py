@@ -96,3 +96,18 @@ def test_partial_crash_resume(spark, tmp_path):
     with open(mp) as f:
         m = json.load(f)
     assert m["fingerprint"]
+
+
+def test_fingerprint_even_multiplicity(spark):
+    """XOR alone cancels when an identical-row pair is swapped for another
+    pair (count unchanged) — the additive component must still distinguish
+    the contents (ADVICE r2)."""
+    from sparksearch.checkpoint import dataframe_fingerprint
+
+    a = spark.createDataFrame([("x",), ("x",)], "v string")
+    b = spark.createDataFrame([("y",), ("y",)], "v string")
+    fa, fb = dataframe_fingerprint(a), dataframe_fingerprint(b)
+    assert fa != fb
+    # same count and XOR (both pairs cancel to 0) -> only the sum differs
+    assert fa.split(":")[0] == fb.split(":")[0] == "2"
+    assert fa.split(":")[1] == fb.split(":")[1] == "0"
