@@ -572,14 +572,27 @@ def wand_topk_batch(
     }
     import math
 
-    queries: dict[int, dict] = {}
+    all_queries: dict[int, dict] = {}
     for r in rows:
-        q = queries.setdefault(
+        q = all_queries.setdefault(
             int(r["query_id"]), {"mode": r["mode"], "n_terms": int(r["n_terms"]), "terms": {}}
         )
         df = lex_rows.get(r["term"], 0)
         idf = math.log((n_docs - df + 0.5) / (df + 0.5))
         q["terms"][r["term"]] = (float(r["weight"]), idf)
+    # signature dedup: real batch workloads repeat queries (retries, head
+    # queries, templated expansions) — identical (mode, weighted term bag)
+    # signatures are evaluated ONCE and the ranked result is replicated to
+    # every member query_id by a tiny broadcast join at the end.  The
+    # representative is the smallest qid so output is deterministic.
+    group_of: dict[int, list[int]] = {}
+    _sig_rep: dict[tuple, int] = {}
+    for qid in sorted(all_queries):
+        q = all_queries[qid]
+        sig = (q["mode"], q["n_terms"], tuple(sorted(q["terms"].items())))
+        rep = _sig_rep.setdefault(sig, qid)
+        group_of.setdefault(rep, []).append(qid)
+    queries = {qid: all_queries[qid] for qid in group_of}
     bq = sc.broadcast(queries)
 
     sel = blocks.filter(F.col("term").isin(vocab))
@@ -699,9 +712,7 @@ def wand_topk_batch(
                 term_dense[term] = (dn, mask)
 
             thetas = theta_bc.value if theta_bc is not None else None
-            out_q: list[np.ndarray] = []
-            out_d: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
+            survivors: list[tuple[int, dict, list[str]]] = []
             for qid, q in qitems:
                 present = [t for t in q["terms"] if t in term_dense]
                 if not present:
@@ -722,19 +733,13 @@ def wand_topk_batch(
                             if acc_skipped is not None:
                                 acc_skipped.add(1)
                             continue
-                score = None
-                cnt = None
-                for t in present:
-                    dn, mask = term_dense[t]
-                    w, idf = q["terms"][t]
-                    contrib = (w * idf) * dn
-                    score = contrib if score is None else score + contrib
-                    cnt = mask.copy() if cnt is None else cnt + mask
-                keep = cnt == q["n_terms"] if q["mode"] == CONJUNCTIVE else cnt > 0
-                docs_sel = np.flatnonzero(keep)
-                if len(docs_sel) == 0:
-                    continue
-                scores_sel = score[docs_sel]
+                survivors.append((qid, q, present))
+
+            out_q: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+
+            def emit(qid: int, docs_sel: np.ndarray, scores_sel: np.ndarray) -> None:
                 if len(docs_sel) > k:  # local top-k, tie (score desc, doc asc)
                     rank_key = _micro_i64(scores_sel) if micro_rank else scores_sel
                     order = np.lexsort((docs_sel, -rank_key))[:k]
@@ -742,6 +747,71 @@ def wand_topk_batch(
                 out_q.append(np.full(len(docs_sel), qid, np.int32))
                 out_d.append(docs_sel + lo if id_map is None else id_map[docs_sel])
                 out_s.append(scores_sel)
+
+            if len(survivors) >= 32:
+                # matrix path for large query sets: one dgemm per query
+                # block replaces thousands of per-query span-length numpy
+                # passes (BLAS is cache-blocked; the r2 per-query vector
+                # adds saturated the memory bus and anti-scaled at high
+                # core counts).  BLAS itself is pinned to 1 thread per
+                # worker (session._WORKER_THREAD_PINS) so tasks never
+                # oversubscribe cores with nested OMP pools.
+                terms_list = list(term_dense)
+                t_index = {t: i for i, t in enumerate(terms_list)}
+                D = np.stack([term_dense[t][0] for t in terms_list])  # T x span
+                P = np.stack([term_dense[t][1] for t in terms_list]).astype(np.float64)
+                for blk in range(0, len(survivors), 256):  # bound temp memory
+                    part = survivors[blk : blk + 256]
+                    nq = len(part)
+                    W = np.zeros((nq, len(terms_list)))
+                    B = np.zeros((nq, len(terms_list)))
+                    need = np.empty(nq)
+                    conj = np.empty(nq, bool)
+                    for r, (qid, q, present) in enumerate(part):
+                        for t in present:
+                            w, idf = q["terms"][t]
+                            W[r, t_index[t]] = w * idf
+                            B[r, t_index[t]] = 1.0
+                        need[r] = q["n_terms"]
+                        conj[r] = q["mode"] == CONJUNCTIVE
+                    scores = W @ D
+                    counts = B @ P  # small-int floats: exact comparisons
+                    sel_rows = np.where(
+                        conj[:, None], counts == need[:, None], counts > 0
+                    )
+                    # candidate cut on the RANKING key (micro when
+                    # micro_rank, else exact): row-wise k-th largest, then
+                    # candidates = all >= it, so boundary ties resolve
+                    # exactly in the lexsort inside emit()
+                    if micro_rank:
+                        masked = np.where(
+                            sel_rows, _micro_i64(scores), np.iinfo(np.int64).min
+                        )
+                    else:
+                        masked = np.where(sel_rows, scores, -np.inf)
+                    if span > k:
+                        kth = np.partition(masked, span - k, axis=1)[:, span - k]
+                    else:
+                        kth = np.full(nq, masked.dtype.type(np.iinfo(np.int64).min)
+                                      if micro_rank else -np.inf)
+                    for r, (qid, q, present) in enumerate(part):
+                        cand = np.flatnonzero(sel_rows[r] & (masked[r] >= kth[r]))
+                        if len(cand):
+                            emit(qid, cand, scores[r, cand])
+            else:
+                for qid, q, present in survivors:
+                    score = None
+                    cnt = None
+                    for t in present:
+                        dn, mask = term_dense[t]
+                        w, idf = q["terms"][t]
+                        contrib = (w * idf) * dn
+                        score = contrib if score is None else score + contrib
+                        cnt = mask.copy() if cnt is None else cnt + mask
+                    keep = cnt == q["n_terms"] if q["mode"] == CONJUNCTIVE else cnt > 0
+                    docs_sel = np.flatnonzero(keep)
+                    if len(docs_sel):
+                        emit(qid, docs_sel, score[docs_sel])
             if not out_q:
                 return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
             return pd.DataFrame(
@@ -869,9 +939,20 @@ def wand_topk_batch(
         F.round(F.col("score") * 1e6, 0).cast("long") if micro_rank else F.col("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(rank_col), F.asc("doc_id"))
-    return (
+    ranked = (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    if len(all_queries) == len(group_of):
+        return ranked  # no duplicate signatures
+    mapping = spark.createDataFrame(
+        [(rep, qid) for rep, qids in group_of.items() for qid in qids],
+        "rep int, query_id int",
+    )
+    return (
+        ranked.withColumnRenamed("query_id", "rep")
+        .join(F.broadcast(mapping), "rep")
         .select("query_id", "rank", "doc_id", "score")
     )
 

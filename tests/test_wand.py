@@ -278,3 +278,44 @@ def test_vectorized_chunk_skipping_decodes_less(spark):
     t, d = int(out[0]["chunks_total"]), int(out[0]["chunks_decoded"])
     assert d < t, (d, t)
     blocks.unpersist()
+
+
+def test_batch_matrix_path_and_signature_dedup(spark, ctx):
+    """>=32 surviving queries route through the BLAS matrix path; results
+    must equal the per-query evaluator.  Duplicate query signatures must be
+    evaluated once and replicated to every member query_id."""
+    docs, posts, st, lex, blocks, idx = ctx
+    base = [
+        (i, f"{t1} {t2}", DISJUNCTIVE if i % 2 == 0 else CONJUNCTIVE)
+        for i, (t1, t2) in enumerate(
+            (a, b)
+            for a in ("if", "return", "def", "buffer", "size", "node", "uniq13tok")
+            for b in ("int", "value", "count", "len", "data", "the")
+        )
+    ]
+    assert len(base) >= 32
+    qt = query_terms_df(spark, base)
+    ref = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(blocks, lex, qt, st["n_docs"], st["avg_doc_len"]).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(blocks, lex, qt, st["n_docs"], st["avg_doc_len"]).collect()
+    )
+    assert got == ref
+
+    dup = base + [(500 + i, t, m) for i, (_, t, m) in enumerate(base[:10])]
+    got2 = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(
+            blocks, lex, query_terms_df(spark, dup), st["n_docs"], st["avg_doc_len"]
+        ).collect()
+    }
+    base_map = {(q, rk): v for q, rk, *v in ((q, rk, d, s) for q, rk, d, s in got)}
+    for i, (qid, t, m) in enumerate(base[:10]):
+        ranks = [rk for (q, rk) in got2 if q == qid]
+        for rk in ranks:
+            assert got2[(500 + i, rk)] == got2[(qid, rk)]
+    for key, v in base_map.items():
+        assert got2[key] == tuple(v)
