@@ -115,14 +115,20 @@ def main() -> None:
                 blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K
             ).count(),
         )
+        # 512 signature-UNIQUE queries (distinct unordered term triples):
+        # wand_topk_batch dedups identical (mode, weighted-term-bag)
+        # signatures, so a repetitive generated set would measure result
+        # replication instead of scoring — unique triples keep the
+        # throughput number honest (512 full evaluations).
+        from itertools import combinations, islice
+
         vocab_terms = ["hash", "join", "merge", "table", "scan", "filter", "sort",
                        "order", "window", "key", "value", "row", "spark", "stream",
                        "batch", "dup"]
         big_set = [
-            (1000 + i,
-             " ".join(vocab_terms[(i + j) % len(vocab_terms)] for j in range(3)),
+            (1000 + i, " ".join(trip),
              DISJUNCTIVE if i % 2 == 0 else CONJUNCTIVE)
-            for i in range(512)
+            for i, trip in enumerate(islice(combinations(vocab_terms, 3), 512))
         ]
         qt_big = query_terms_df(spark, big_set)
         timed(

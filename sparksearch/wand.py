@@ -897,10 +897,26 @@ def wand_topk_batch(
             margin = 0.05 * max(1.0, abs(ref))
             valid_pairs += int(valid.sum())
             potential_pairs += int((vb < ref - margin).sum())
+        # the gate must weigh potential against the θ-derivation COST, not
+        # just detect heterogeneity.  Economics: a skipped (query, bucket)
+        # saves only that query's dense accumulation — the bucket still
+        # decodes every term once for the surviving queries — while the θ
+        # pass costs a full extra evaluation per query (its seed bucket),
+        # the seed buckets' decode, and two extra Spark jobs.  So pruning
+        # pays only when a LARGE fraction of per-query work is skippable:
+        # ≥25% of valid pairs AND ≥4 evaluations saved per evaluation the
+        # seed pass spends.  Near-uniform corpora sit at 5-15% (bound
+        # noise around the median margin) and decline; genuinely skewed
+        # corpora (time-ordered, per-repo term locality) clear 25% easily
+        # because rare terms are absent from most buckets.  Measured on
+        # the uniform synthetic corpus (60k docs, 1536 queries): firing
+        # cost 3x the full evaluation; these floors keep it off there.
         if prune == "auto" and (
-            valid_pairs == 0 or potential_pairs / valid_pairs < 0.05
+            valid_pairs == 0
+            or potential_pairs / valid_pairs < 0.25
+            or potential_pairs < 4 * len(queries)
         ):
-            seed_of = {}  # uniform bounds: θ job cannot pay for itself
+            seed_of = {}  # θ job cannot pay for itself
         if seed_of:
             # pass 2: exact scores in each query's seed bucket -> θ_q =
             # k-th best there (a sound lower bound on the global k-th)
