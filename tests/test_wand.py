@@ -249,6 +249,51 @@ def test_batch_prune_skips_and_identical(spark):
     blocks.unpersist()
 
 
+def test_batch_auto_gate_fires_on_skewed_declines_on_uniform(spark):
+    """The prune="auto" gate is an economic decision: the θ-derivation pass
+    costs one extra evaluation per query, so it must fire only when a large
+    fraction of (query, bucket) work is skippable.  Skewed corpus
+    (monotone doc_len -> bucket bounds spread far beyond the 5% median
+    margin): gate fires, skips work, stays rank-identical.  Uniform corpus
+    (constant doc_len -> every bucket bound identical): gate declines —
+    observable as stats_out accumulators staying None (no θ job ran)."""
+    skew = []
+    for d in range(1000):
+        skew.append((d, "alpha", 1, 50 + 2 * d))
+        skew.append((d, "beta", 1, 50 + 2 * d))
+    uni = [(d, t, 1, 100) for d in range(1000) for t in ("alpha", "beta")]
+    n, avgdl = 4000, 100.0
+    qt = query_terms_df(
+        spark, [(1, "alpha beta", DISJUNCTIVE), (2, "alpha beta", CONJUNCTIVE)]
+    )
+    for rows, should_fire in ((skew, True), (uni, False)):
+        posts = spark.createDataFrame(
+            rows, "doc_id long, term string, tf int, doc_len long"
+        )
+        lex = lexicon(posts).select("term", "df")
+        blocks = build_block_index(posts, avgdl, bucket_span=100).cache()
+        blocks.count()
+        truth = sorted(
+            map(tuple, wand_topk_batch(blocks, lex, qt, n, avgdl, prune=False).collect())
+        )
+        stats: dict = {}
+        auto = sorted(
+            map(
+                tuple,
+                wand_topk_batch(
+                    blocks, lex, qt, n, avgdl, prune="auto", stats_out=stats
+                ).collect(),
+            )
+        )
+        assert auto == truth
+        if should_fire:
+            assert stats["query_evals_skipped"] is not None
+            assert stats["query_evals_skipped"].value > 0
+        else:
+            assert stats["query_evals_total"] is None  # θ job never launched
+        blocks.unpersist()
+
+
 def test_vectorized_chunk_skipping_decodes_less(spark):
     """Interval-level (per-chunk) bounds must let the vectorized evaluator
     skip chunks INSIDE a surviving bucket: bucket 1 contains a burst of
