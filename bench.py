@@ -31,7 +31,7 @@ from sparksearch.constants import CONJUNCTIVE, DISJUNCTIVE, TOP_K  # noqa: E402
 from sparksearch.corpus import documents_from_testdata  # noqa: E402
 from sparksearch.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash  # noqa: E402
 from sparksearch.analysis import text_quality  # noqa: E402
-from sparksearch.query import query_terms_df, topk  # noqa: E402
+from sparksearch.query import query_term_rows, query_terms_df, topk  # noqa: E402
 from sparksearch.session import get_spark  # noqa: E402
 from sparksearch.stats import collection_stats, doc_table, lexicon  # noqa: E402
 from sparksearch.tokenize import postings_from_documents  # noqa: E402
@@ -130,7 +130,9 @@ def main() -> None:
              DISJUNCTIVE if i % 2 == 0 else CONJUNCTIVE)
             for i, trip in enumerate(islice(combinations(vocab_terms, 3), 512))
         ]
-        qt_big = query_terms_df(spark, big_set)
+        # list-form qterms: query batches originate driver-side, so the
+        # batch evaluator takes the rows directly (no per-call collect job)
+        qt_big = query_term_rows(big_set)
         timed(
             "wand_batch_512q",
             lambda: wand_topk_batch(

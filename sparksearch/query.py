@@ -51,18 +51,38 @@ QUERY_TERMS_SCHEMA = T.StructType(
 )
 
 
-def query_terms_df(spark: SparkSession, queries: list[tuple[int, str, str]]) -> DataFrame:
-    """Tokenize a (tiny) query batch driver-side into a bag-of-terms table.
+def query_term_rows(queries: list[tuple[int, str, str]]) -> list[dict]:
+    """Tokenize a (tiny) query batch driver-side into bag-of-terms rows.
 
     Mirrors splitQuery (hw3/DataLoader.cpp:432-458): same separator set,
-    duplicates folded into ``weight``; ``n_terms`` = distinct terms per query.
-    """
+    duplicates folded into ``weight``; ``n_terms`` = distinct terms per
+    query.  The list form feeds :func:`wand_topk_batch` directly (query
+    batches originate driver-side; skipping the DataFrame round-trip saves
+    one collect job per batch call)."""
     rows = []
     for qid, text, mode in queries:
         toks = tokenize_text(text)
         cnt = Counter(toks)
         for term, w in cnt.items():
-            rows.append((int(qid), mode, term, int(w), len(cnt)))
+            rows.append(
+                {
+                    "query_id": int(qid),
+                    "mode": mode,
+                    "term": term,
+                    "weight": int(w),
+                    "n_terms": len(cnt),
+                }
+            )
+    return rows
+
+
+def query_terms_df(spark: SparkSession, queries: list[tuple[int, str, str]]) -> DataFrame:
+    """:func:`query_term_rows` as a DataFrame — the relational form used by
+    the join-based evaluators (:func:`topk`, :func:`wand_topk`)."""
+    rows = [
+        (r["query_id"], r["mode"], r["term"], r["weight"], r["n_terms"])
+        for r in query_term_rows(queries)
+    ]
     return spark.createDataFrame(rows, QUERY_TERMS_SCHEMA)
 
 

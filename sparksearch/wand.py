@@ -501,6 +501,7 @@ def wand_topk_batch(
     prune: bool | str = "auto",
     stats_out: dict | None = None,
     micro_rank: bool = False,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): DOC-PARTITIONED batch evaluation —
     the throughput architecture for large query sets.
@@ -554,17 +555,44 @@ def wand_topk_batch(
     declined); read ``.value`` after an action (task-retry-approximate,
     evidence only).
 
-    ``micro_rank=True`` truncates each bucket's local top-k on the
+    ``micro_rank=True`` truncates each shard's local top-k on the
     micro-rounded key (round(score*1e6) half-away, desc, doc_id asc) —
-    a TOTAL order, so exactly k rows per bucket suffice for any consumer
+    a TOTAL order, so exactly k rows per shard suffice for any consumer
     that re-ranks on the micro score (the driver entries) with no tie
     slack; the θ-skip margin widens to one micro quantum so pruning can
     never drop a doc that ties at micro resolution.  Emitted scores stay
     exact doubles either way.
+
+    SHARD grouping (``n_shards``, default = spark.sql.shuffle.partitions):
+    buckets are grouped by ``bucket mod n_shards`` and one task walks its
+    buckets in ascending doc order keeping a per-query RUNNING top-k, so
+
+    * the final merge window receives k rows per (query, shard) instead of
+      per (query, bucket) — merge-shuffle volume is O(Q·k·shards), constant
+      in corpus size (at 10^4+ buckets the per-bucket emit was the
+      dominant shuffle);
+    * each query's running k-th-best score is a sound in-task θ: later
+      buckets in the shard whose metadata bound falls below it skip their
+      dense evaluation with NO extra Spark jobs (the distributed analog of
+      the reference's single-threaded heap threshold tightening as it
+      streams doc ranges, hw3/DataLoader.cpp:636-671) — this composes with
+      the cross-task seed-θ pass (``prune``), which remains the only way a
+      bucket can be skipped before its shard has accumulated k results.
+      Sound for the same reason as seed θ: the running θ is the k-th best
+      ACHIEVED score, visit order only affects how fast it tightens, and
+      the float/micro margins below make ties unskippable.
+
+    ``qterms`` may be the usual DataFrame or a plain driver-side list of
+    dicts/Rows with the same fields — query batches originate driver-side,
+    and a list skips one collect job per call (a fixed serial cost that
+    capped measured 4x-core scaling efficiency of short batch phases).
     """
     spark = blocks.sparkSession
     sc = spark.sparkContext
-    rows = qterms.select("query_id", "term", "weight", "mode", "n_terms").collect()
+    if isinstance(qterms, list):
+        rows = qterms
+    else:
+        rows = qterms.select("query_id", "term", "weight", "mode", "n_terms").collect()
     vocab = sorted({r["term"] for r in rows})
     lex_rows = {
         r["term"]: int(r["df"])
@@ -595,7 +623,11 @@ def wand_topk_batch(
     queries = {qid: all_queries[qid] for qid in group_of}
     bq = sc.broadcast(queries)
 
-    sel = blocks.filter(F.col("term").isin(vocab))
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sel = blocks.filter(F.col("term").isin(vocab)).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards)))
+    )
 
     def query_bound(q: dict, term_stats: dict) -> float | None:
         """Score bound for one query over one bucket, from per-(bucket,
@@ -635,19 +667,13 @@ def wand_topk_batch(
     _EMPTY = {"query_id": np.int32, "doc_id": np.int64, "score": np.float64}
 
     def make_scorer(restrict_bc, theta_bc, acc_total, acc_skipped):
-        """Build the per-bucket scorer.  restrict_bc: {bucket: [qid]} to
-        score only each query's seed bucket (θ-derivation pass);
-        theta_bc: {qid: θ} to bound-skip queries (main pruned pass)."""
+        """Build the per-SHARD scorer (see the n_shards paragraph of the
+        function docstring).  restrict_bc: {bucket: [qid]} to score only
+        each query's seed bucket (θ-derivation pass); theta_bc: {qid: θ}
+        to bound-skip queries (cross-task pruned pass); each query's
+        running k-th-best score tightens both within the shard."""
 
-        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            qs = bq.value
-            bucket_id = int(pdf["bucket"].iloc[0])
-            if restrict_bc is not None:
-                qitems = [(qid, qs[qid]) for qid in restrict_bc.value.get(bucket_id, ())]
-                if not qitems:
-                    return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
-            else:
-                qitems = list(qs.items())
+        def score_bucket(pdf: pd.DataFrame, qitems, run_theta, collect) -> None:
             # decode each term once for this bucket; track per-term
             # max/min tf_norm over its blocks for the bound check
             decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
@@ -677,7 +703,7 @@ def wand_topk_batch(
                 lo = int(docs[0]) if lo is None else min(lo, int(docs[0]))
                 hi = int(docs[-1]) if hi is None else max(hi, int(docs[-1]))
             if not decoded:
-                return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+                return
 
             # dense per-bucket accumulators (the reference's TAAT dense
             # score array, hw3/DataLoader.cpp:376-392, applied per doc
@@ -719,34 +745,37 @@ def wand_topk_batch(
                     continue
                 if q["mode"] == CONJUNCTIVE and len(present) < q["n_terms"]:
                     continue
-                if thetas is not None:
-                    if acc_total is not None:
-                        acc_total.add(1)
-                    tq = thetas.get(qid)
-                    if tq is not None:
-                        bound = query_bound(q, term_stats)
-                        # strict less-than with a float-safety margin (one
-                        # micro quantum under micro_rank so micro ties are
-                        # never skippable): skipped work, never results
-                        margin = 1e-9 * max(1.0, abs(tq)) + (1e-6 if micro_rank else 0.0)
-                        if bound is not None and bound < tq - margin:
-                            if acc_skipped is not None:
-                                acc_skipped.add(1)
-                            continue
+                if thetas is not None and acc_total is not None:
+                    acc_total.add(1)
+                # effective θ = max(cross-task seed θ, in-shard running
+                # k-th best) — both are achieved scores, so both are
+                # sound lower bounds on the final k-th
+                tq = thetas.get(qid) if thetas is not None else None
+                rt = run_theta.get(qid)
+                if rt is not None and (tq is None or rt > tq):
+                    tq = rt
+                if tq is not None:
+                    bound = query_bound(q, term_stats)
+                    # strict less-than with a float-safety margin (one
+                    # micro quantum under micro_rank so micro ties are
+                    # never skippable): skipped work, never results
+                    margin = 1e-9 * max(1.0, abs(tq)) + (1e-6 if micro_rank else 0.0)
+                    if bound is not None and bound < tq - margin:
+                        if acc_skipped is not None and thetas is not None:
+                            acc_skipped.add(1)
+                        continue
                 survivors.append((qid, q, present))
-
-            out_q: list[np.ndarray] = []
-            out_d: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
 
             def emit(qid: int, docs_sel: np.ndarray, scores_sel: np.ndarray) -> None:
                 if len(docs_sel) > k:  # local top-k, tie (score desc, doc asc)
                     rank_key = _micro_i64(scores_sel) if micro_rank else scores_sel
                     order = np.lexsort((docs_sel, -rank_key))[:k]
                     docs_sel, scores_sel = docs_sel[order], scores_sel[order]
-                out_q.append(np.full(len(docs_sel), qid, np.int32))
-                out_d.append(docs_sel + lo if id_map is None else id_map[docs_sel])
-                out_s.append(scores_sel)
+                collect(
+                    qid,
+                    (docs_sel + lo if id_map is None else id_map[docs_sel]).astype(np.int64),
+                    scores_sel,
+                )
 
             if len(survivors) >= 32:
                 # matrix path for large query sets: one dgemm per query
@@ -779,23 +808,28 @@ def wand_topk_batch(
                     sel_rows = np.where(
                         conj[:, None], counts == need[:, None], counts > 0
                     )
-                    # candidate cut on the RANKING key (micro when
-                    # micro_rank, else exact): row-wise k-th largest, then
-                    # candidates = all >= it, so boundary ties resolve
-                    # exactly in the lexsort inside emit()
-                    if micro_rank:
-                        masked = np.where(
-                            sel_rows, _micro_i64(scores), np.iinfo(np.int64).min
-                        )
-                    else:
-                        masked = np.where(sel_rows, scores, -np.inf)
+                    # candidate cut on the EXACT float score (one full-
+                    # matrix pass): row-wise k-th largest, candidates =
+                    # all >= it.  Under micro_rank the threshold drops by
+                    # one micro quantum (+ float-safety) so every doc that
+                    # could still TIE the k-th micro key survives into
+                    # emit(), whose exact micro lexsort does the final cut
+                    # — sound because micro is monotone, so the k-th micro
+                    # key equals micro(k-th exact score), and s ≤ t - 1e-6
+                    # implies micro(s) < micro(t).  (The former full-matrix
+                    # _micro_i64 pass was one of ~6 span-wide passes per
+                    # block of a memory-bandwidth-bound kernel.)
+                    masked = np.where(sel_rows, scores, -np.inf)
                     if span > k:
                         kth = np.partition(masked, span - k, axis=1)[:, span - k]
                     else:
-                        kth = np.full(nq, masked.dtype.type(np.iinfo(np.int64).min)
-                                      if micro_rank else -np.inf)
+                        kth = np.full(nq, -np.inf)
+                    if micro_rank:
+                        thr = kth - (1e-6 + 1e-9 * np.maximum(1.0, np.abs(kth)))
+                    else:
+                        thr = kth
                     for r, (qid, q, present) in enumerate(part):
-                        cand = np.flatnonzero(sel_rows[r] & (masked[r] >= kth[r]))
+                        cand = np.flatnonzero(sel_rows[r] & (masked[r] >= thr[r]))
                         if len(cand):
                             emit(qid, cand, scores[r, cand])
             else:
@@ -812,8 +846,43 @@ def wand_topk_batch(
                     docs_sel = np.flatnonzero(keep)
                     if len(docs_sel):
                         emit(qid, docs_sel, score[docs_sel])
-            if not out_q:
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            qs = bq.value
+            restrict = restrict_bc.value if restrict_bc is not None else None
+            all_items = None if restrict is not None else list(qs.items())
+            # per-query running top-k across this shard's buckets (merged
+            # ≤2k bounded cut per bucket) + running θ once k results exist
+            cand: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            run_theta: dict[int, float] = {}
+
+            def collect(qid: int, docs_sel: np.ndarray, scores_sel: np.ndarray) -> None:
+                prev = cand.get(qid)
+                if prev is not None:
+                    docs_sel = np.concatenate([prev[0], docs_sel])
+                    scores_sel = np.concatenate([prev[1], scores_sel])
+                if len(docs_sel) > k:
+                    rank_key = _micro_i64(scores_sel) if micro_rank else scores_sel
+                    order = np.lexsort((docs_sel, -rank_key))[:k]
+                    docs_sel, scores_sel = docs_sel[order], scores_sel[order]
+                cand[qid] = (docs_sel, scores_sel)
+                if len(docs_sel) >= k:
+                    run_theta[qid] = float(scores_sel.min())
+
+            for bucket_id, bpdf in pdf.groupby("bucket", sort=True):
+                if restrict is not None:
+                    qitems = [(qid, qs[qid]) for qid in restrict.get(int(bucket_id), ())]
+                    if not qitems:
+                        continue
+                else:
+                    qitems = all_items
+                score_bucket(bpdf, qitems, run_theta, collect)
+            if not cand:
                 return pd.DataFrame({c: [] for c in _EMPTY}).astype(_EMPTY)
+            out_q, out_d, out_s = [], [], []
+            for qid, (d, s) in cand.items():
+                out_q.append(np.full(len(d), qid, np.int32))
+                out_d.append(d)
+                out_s.append(s)
             return pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -822,7 +891,7 @@ def wand_topk_batch(
                 }
             )
 
-        return per_bucket
+        return per_shard
 
     theta_bc = None
     acc_total = acc_skipped = None
@@ -926,7 +995,7 @@ def wand_topk_batch(
             restrict_bc = sc.broadcast(by_seed)
             seed_rows = (
                 sel.filter(F.col("bucket").isin(sorted(by_seed)))
-                .groupBy("bucket")
+                .groupBy("shard")
                 .applyInPandas(make_scorer(restrict_bc, None, None, None), schema=cand_schema)
                 .collect()
             )
@@ -946,7 +1015,7 @@ def wand_topk_batch(
         stats_out["query_evals_total"] = acc_total
         stats_out["query_evals_skipped"] = acc_skipped
 
-    cands = sel.groupBy("bucket").applyInPandas(
+    cands = sel.groupBy("shard").applyInPandas(
         make_scorer(None, theta_bc, acc_total, acc_skipped), schema=cand_schema
     )
     from pyspark.sql import Window
