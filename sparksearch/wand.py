@@ -788,13 +788,17 @@ def wand_topk_batch(
                 terms_list = list(term_dense)
                 t_index = {t: i for i, t in enumerate(terms_list)}
                 D = np.stack([term_dense[t][0] for t in terms_list])  # T x span
-                P = np.stack([term_dense[t][1] for t in terms_list]).astype(np.float64)
+                # float32 for the presence-count matmul: counts are small
+                # integers (≤ n_terms ≤ 2^24), exactly representable, and
+                # the counts matrix is one of the few full-width passes of
+                # a bandwidth-bound kernel — half the bytes
+                P = np.stack([term_dense[t][1] for t in terms_list]).astype(np.float32)
                 for blk in range(0, len(survivors), 256):  # bound temp memory
                     part = survivors[blk : blk + 256]
                     nq = len(part)
                     W = np.zeros((nq, len(terms_list)))
-                    B = np.zeros((nq, len(terms_list)))
-                    need = np.empty(nq)
+                    B = np.zeros((nq, len(terms_list)), np.float32)
+                    need = np.empty(nq, np.float32)
                     conj = np.empty(nq, bool)
                     for r, (qid, q, present) in enumerate(part):
                         for t in present:
@@ -819,7 +823,12 @@ def wand_topk_batch(
                     # implies micro(s) < micro(t).  (The former full-matrix
                     # _micro_i64 pass was one of ~6 span-wide passes per
                     # block of a memory-bandwidth-bound kernel.)
-                    masked = np.where(sel_rows, scores, -np.inf)
+                    # mask IN PLACE: non-selected cells become -inf inside
+                    # the scores matrix itself (selected cells — the only
+                    # ones emit() reads — are untouched), avoiding a second
+                    # full-width matrix allocation + write
+                    np.copyto(scores, -np.inf, where=~sel_rows)
+                    masked = scores
                     if span > k:
                         kth = np.partition(masked, span - k, axis=1)[:, span - k]
                     else:

@@ -364,3 +364,40 @@ def test_batch_matrix_path_and_signature_dedup(spark, ctx):
             assert got2[(500 + i, rk)] == got2[(qid, rk)]
     for key, v in base_map.items():
         assert got2[key] == tuple(v)
+
+def test_batch_list_qterms_and_shard_invariance(spark):
+    """wand_topk_batch accepts qterms as a driver-side row list
+    (query_term_rows) and must match the DataFrame form exactly; the
+    result must also be invariant to n_shards (1 = everything in one
+    task's running top-k, 7 = non-divisor of the bucket count, default =
+    shuffle partitions), since shards only change where the per-query
+    merge happens."""
+    from sparksearch.query import query_term_rows
+
+    rows = []
+    for d in range(400):
+        rows.append((d, "alpha", 1 + d % 3, 80 + (d * 7) % 90))
+        if d % 3 == 0:
+            rows.append((d, "beta", 2, 80 + (d * 7) % 90))
+    posts = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len long")
+    n, avgdl = 1000, 100.0
+    lex = lexicon(posts).select("term", "df")
+    qset = [(1, "alpha beta", DISJUNCTIVE), (2, "alpha beta", CONJUNCTIVE)]
+    qt_df = query_terms_df(spark, qset)
+    blocks = build_block_index(posts, avgdl, bucket_span=50).cache()
+    blocks.count()
+    truth = sorted(
+        map(tuple, wand_topk_batch(blocks, lex, qt_df, n, avgdl, k=15).collect())
+    )
+    for shards in (1, 7, None):
+        got = sorted(
+            map(
+                tuple,
+                wand_topk_batch(
+                    blocks, lex, query_term_rows(qset), n, avgdl, k=15,
+                    n_shards=shards,
+                ).collect(),
+            )
+        )
+        assert got == truth, shards
+    blocks.unpersist()
