@@ -47,6 +47,12 @@ from pyspark.sql import types as T
 from .codec import chunk_offsets, decode_block, decode_chunk, tf_norm
 from .constants import CONJUNCTIVE, TOP_K
 
+# {blocks DataFrame -> {vocab tuple -> collected (bucket, term, mx, mn)
+# rows}} for wand_topk_batch's θ-gate metadata pass (see its prune block)
+import weakref
+
+_META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.IntegerType(), False),
@@ -910,11 +916,22 @@ def wand_topk_batch(
         # bucket (highest bound), and the skip-potential gate.  All numpy
         # over a (n_buckets,) axis per query term — no Python loop over
         # buckets, so 10^4 buckets x 10^3 queries stays driver-cheap.
-        meta = (
-            sel.groupBy("bucket", "term")
-            .agg(F.max("max_tf_norm").alias("mx"), F.min("min_tf_norm").alias("mn"))
-            .collect()
-        )
+        # The collected rows are memoized per (blocks DataFrame, vocab):
+        # a batch service evaluates many batches against one index
+        # snapshot, and the extremes depend only on the index — without
+        # the cache every call pays a metadata job whose only purpose on
+        # a uniform corpus is to let the gate decline.  WeakKeyDictionary:
+        # entries die with the DataFrame object, so a rebuilt index (a
+        # new DataFrame) can never hit a stale entry.
+        meta_key = tuple(vocab)
+        meta = _META_CACHE.setdefault(blocks, {}).get(meta_key)
+        if meta is None:
+            meta = (
+                sel.groupBy("bucket", "term")
+                .agg(F.max("max_tf_norm").alias("mx"), F.min("min_tf_norm").alias("mn"))
+                .collect()
+            )
+            _META_CACHE[blocks][meta_key] = meta
         buckets_sorted = sorted({int(r["bucket"]) for r in meta})
         bk_pos = {bk: i for i, bk in enumerate(buckets_sorted)}
         n_b = len(buckets_sorted)
