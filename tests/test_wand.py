@@ -401,3 +401,76 @@ def test_batch_list_qterms_and_shard_invariance(spark):
         )
         assert got == truth, shards
     blocks.unpersist()
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpus_and_queries(draw):
+    n_docs = draw(st.integers(20, 120))
+    terms = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for d in range(n_docs):
+        dl = draw(st.integers(30, 300))
+        for t in terms:
+            tf = draw(st.integers(0, 3))
+            if tf:
+                rows.append((d, t, tf, dl))
+    qs = []
+    for qid in range(draw(st.integers(1, 4))):
+        n_t = draw(st.integers(1, 3))
+        qterms = draw(
+            st.lists(st.sampled_from(terms), min_size=n_t, max_size=n_t)
+        )
+        mode = draw(st.sampled_from([DISJUNCTIVE, CONJUNCTIVE]))
+        qs.append((qid, " ".join(qterms), mode))
+    span = draw(st.sampled_from([16, 50, None]))
+    shards = draw(st.sampled_from([1, 3, None]))
+    prune = draw(st.sampled_from([False, True]))
+    return rows, qs, span, shards, prune
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus_and_queries())
+def test_batch_property_matches_exhaustive(case):
+    """Property: for random corpora (including duplicate-score ties from
+    coarse tf/doc_len grids), random query bags (duplicate terms =
+    weights), any bucket_span/unbucketed layout, any shard count, pruning
+    on or off — wand_topk_batch is rank-identical to the exhaustive
+    postings-table evaluator."""
+    rows, qs, span, shards, prune = case
+    if not rows:
+        return
+    spark = _hyp_spark()
+    posts = spark.createDataFrame(
+        rows, "doc_id long, term string, tf int, doc_len long"
+    )
+    n, avgdl = 500, 120.0
+    lex = lexicon(posts).select("term", "df")
+    qt = query_terms_df(spark, qs)
+    truth = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in topk(posts, lex, qt, n, avgdl, k=10).collect()
+    )
+    blocks = build_block_index(posts, avgdl, bucket_span=span)
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(
+            blocks, lex, qt, n, avgdl, k=10, n_shards=shards, prune=prune
+        ).collect()
+    )
+    assert got == truth
+
+
+_HYP_SPARK = []
+
+
+def _hyp_spark():
+    # hypothesis can't take the pytest fixture as an argument; reuse the
+    # session the other tests created (conftest scope=session) or build one
+    if not _HYP_SPARK:
+        from sparksearch.session import get_spark
+
+        _HYP_SPARK.append(get_spark("wand-hyp", cores=8, shuffle_partitions=8))
+    return _HYP_SPARK[0]
