@@ -794,10 +794,23 @@ def wand_topk_batch(
                 terms_list = list(term_dense)
                 t_index = {t: i for i, t in enumerate(terms_list)}
                 D = np.stack([term_dense[t][0] for t in terms_list])  # T x span
-                # float32 for the presence-count matmul: counts are small
-                # integers (≤ n_terms ≤ 2^24), exactly representable, and
-                # the counts matrix is one of the few full-width passes of
-                # a bandwidth-bound kernel — half the bytes
+                # TWO-PHASE cut (bandwidth): the span-wide matmul + mask +
+                # k-th-partition passes run in float32 — HALF the bytes of
+                # the kernel's dominant passes — with the cut threshold
+                # lowered by a rigorous rounding-error bound, then only
+                # the surviving ≈k docs per query are re-scored EXACTLY in
+                # float64 before emit().  Soundness: for row r the f32
+                # score s32 satisfies |s32 − s64| ≤ γ·Σ_t|W[r,t]|·max|D_t|
+                # (standard summation bound, γ = 2·T·eps32), so any doc
+                # whose exact score ties or beats the exact k-th has
+                # s32 ≥ kth32 − 2·err_r; cutting at that threshold keeps
+                # every such doc, and emit's exact lexsort (on f64 scores)
+                # does the final ranking — f32 never decides an ORDER,
+                # only a superset.
+                # float32 for the presence-count matmul too: counts are
+                # small integers (≤ n_terms ≤ 2^24), exactly representable
+                D32 = D.astype(np.float32)
+                d_absmax = np.abs(D).max(axis=1)  # (T,) for the error bound
                 P = np.stack([term_dense[t][1] for t in terms_list]).astype(np.float32)
                 for blk in range(0, len(survivors), 256):  # bound temp memory
                     part = survivors[blk : blk + 256]
@@ -813,11 +826,15 @@ def wand_topk_batch(
                             B[r, t_index[t]] = 1.0
                         need[r] = q["n_terms"]
                         conj[r] = q["mode"] == CONJUNCTIVE
-                    scores = W @ D
+                    scores = W.astype(np.float32) @ D32
                     counts = B @ P  # small-int floats: exact comparisons
                     sel_rows = np.where(
                         conj[:, None], counts == need[:, None], counts > 0
                     )
+                    # per-row f32 rounding-error bound (see comment above)
+                    err_row = (
+                        2.0 * len(terms_list) * np.finfo(np.float32).eps
+                    ) * (np.abs(W) @ d_absmax)
                     # candidate cut on the EXACT float score (one full-
                     # matrix pass): row-wise k-th largest, candidates =
                     # all >= it.  Under micro_rank the threshold drops by
@@ -830,23 +847,25 @@ def wand_topk_batch(
                     # _micro_i64 pass was one of ~6 span-wide passes per
                     # block of a memory-bandwidth-bound kernel.)
                     # mask IN PLACE: non-selected cells become -inf inside
-                    # the scores matrix itself (selected cells — the only
-                    # ones emit() reads — are untouched), avoiding a second
+                    # the f32 scores matrix itself, avoiding a second
                     # full-width matrix allocation + write
                     np.copyto(scores, -np.inf, where=~sel_rows)
                     masked = scores
                     if span > k:
                         kth = np.partition(masked, span - k, axis=1)[:, span - k]
                     else:
-                        kth = np.full(nq, -np.inf)
+                        kth = np.full(nq, -np.inf, np.float32)
+                    # threshold = f32 k-th − 2·err (covers both the k-th's
+                    # own error and a candidate's), − one micro quantum
+                    # under micro_rank so micro ties survive into emit
+                    thr = kth.astype(np.float64) - 2.0 * err_row
                     if micro_rank:
-                        thr = kth - (1e-6 + 1e-9 * np.maximum(1.0, np.abs(kth)))
-                    else:
-                        thr = kth
+                        thr -= 1e-6 + 1e-9 * np.maximum(1.0, np.abs(kth))
                     for r, (qid, q, present) in enumerate(part):
                         cand = np.flatnonzero(sel_rows[r] & (masked[r] >= thr[r]))
                         if len(cand):
-                            emit(qid, cand, scores[r, cand])
+                            # EXACT f64 re-score of the ≈k survivors only
+                            emit(qid, cand, W[r] @ D[:, cand])
             else:
                 for qid, q, present in survivors:
                     score = None
