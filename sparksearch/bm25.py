@@ -7,9 +7,23 @@ hw3/DataLoader.cpp:302-314 (BM25_t_q):
                                                  # df > N/2 (hot terms) — kept
     score = idf * (k1 + 1) * tf / (K + tf)
 
-Operation order is pinned to the C++ left-assoc evaluation so doubles match
-bit-for-bit between the Spark plan, the pure-Python oracle, and DuckDB SQL.
-Everything is a native column expression (whole-stage codegen; no UDF).
+ONE floating-point association is pinned for the per-posting contribution of
+a weighted query term, across EVERY evaluator in the engine (exhaustive
+DataFrame scorer, cursor WAND, vectorized block-max, batch matrix path, pure-
+Python oracle, DuckDB oracle SQL):
+
+    tf_norm = ((k1 + 1) * tf) / (K + tf)         # query-independent factor
+    contribution = (weight * idf) * tf_norm
+
+This is the factorization the decode-once-score-many batch evaluator REQUIRES
+(the per-posting factor must not depend on the query term's idf/weight), so
+every other evaluator adopts it — doubles then match bit-for-bit per
+contribution between the Spark plan, numpy kernels (codec.tf_norm), the pure-
+Python oracle, and DuckDB SQL.  Multi-term SUM order is NOT pinned across
+evaluators (Spark aggregates in partition order); the cross-evaluator rank
+contract therefore holds at micro resolution (round(score * 1e6), doc_id asc)
+— see wand.py module docstring.  Everything here is a native column
+expression (whole-stage codegen; no UDF).
 """
 
 from __future__ import annotations
@@ -22,22 +36,69 @@ from pyspark.sql import functions as F
 from .constants import BM25_B, BM25_K1
 
 
-def bm25_score(tf: Column, df: Column, doc_len: Column, n_docs: int, avg_doc_len: float) -> Column:
+def bm25_tf_norm(tf: Column, doc_len: Column, avg_doc_len: float) -> Column:
+    """((k1+1)*tf) / (K+tf) — the query-independent factor; the Spark twin of
+    codec.tf_norm (same op order, so index-time bound metadata and query-time
+    scores agree bit-for-bit)."""
     K = BM25_K1 * ((1 - BM25_B) + BM25_B * doc_len.cast("double") / F.lit(avg_doc_len))
-    idf = F.log((F.lit(float(n_docs)) - df.cast("double") + 0.5) / (df.cast("double") + 0.5))
-    return idf * F.lit(BM25_K1 + 1) * tf.cast("double") / (K + tf.cast("double"))
+    return F.lit(BM25_K1 + 1) * tf.cast("double") / (K + tf.cast("double"))
+
+
+def bm25_idf(df: Column, n_docs: int) -> Column:
+    return F.log(
+        (F.lit(float(n_docs)) - df.cast("double") + 0.5) / (df.cast("double") + 0.5)
+    )
+
+
+def bm25_contribution(
+    tf: Column, df: Column, doc_len: Column, weight: Column, n_docs: int, avg_doc_len: float
+) -> Column:
+    """The pinned per-posting contribution: (weight * idf) * tf_norm."""
+    return (weight.cast("double") * bm25_idf(df, n_docs)) * bm25_tf_norm(
+        tf, doc_len, avg_doc_len
+    )
+
+
+def bm25_score(tf: Column, df: Column, doc_len: Column, n_docs: int, avg_doc_len: float) -> Column:
+    """Unweighted score idf * tf_norm (weight == 1 path; same association as
+    :func:`bm25_contribution` with the exact weight-1 multiply folded out)."""
+    return bm25_idf(df, n_docs) * bm25_tf_norm(tf, doc_len, avg_doc_len)
+
+
+def bm25_contribution_py(
+    tf: int, df: int, doc_len: int, weight: float, n_docs: int, avg_doc_len: float
+) -> float:
+    """Oracle-side scalar twin of :func:`bm25_contribution` (same op order)."""
+    K = BM25_K1 * ((1 - BM25_B) + BM25_B * doc_len / avg_doc_len)
+    tf_norm = (BM25_K1 + 1) * tf / (K + tf)
+    return (weight * math.log((n_docs - df + 0.5) / (df + 0.5))) * tf_norm
 
 
 def bm25_score_py(tf: int, df: int, doc_len: int, n_docs: int, avg_doc_len: float) -> float:
     """Oracle-side scalar twin of :func:`bm25_score` (same op order)."""
     K = BM25_K1 * ((1 - BM25_B) + BM25_B * doc_len / avg_doc_len)
-    return math.log((n_docs - df + 0.5) / (df + 0.5)) * (BM25_K1 + 1) * tf / (K + tf)
+    tf_norm = (BM25_K1 + 1) * tf / (K + tf)
+    return math.log((n_docs - df + 0.5) / (df + 0.5)) * tf_norm
+
+
+def bm25_contribution_sql(
+    tf: str, df: str, doc_len: str, weight: str, n_docs: str | int, avg_doc_len: str | float
+) -> str:
+    """The pinned contribution as an ANSI-SQL fragment (DuckDB oracle).
+
+    Parenthesized so DuckDB evaluates exactly (weight*idf) * (((k1+1)*tf)/(K+tf))
+    — left-assoc `a * b / c` == `(a*b)/c` matches numpy/Python."""
+    k1, b = BM25_K1, BM25_B
+    return (
+        f"({weight} * ln(({n_docs} - {df} + 0.5) / ({df} + 0.5))) "
+        f"* ({k1 + 1} * {tf} / ({k1} * ((1 - {b}) + {b} * {doc_len} / {avg_doc_len}) + {tf}))"
+    )
 
 
 def bm25_sql(tf: str, df: str, doc_len: str, n_docs: int, avg_doc_len: float) -> str:
-    """The same formula as an ANSI-SQL fragment (DuckDB oracle)."""
+    """Unweighted score as an ANSI-SQL fragment (weight == 1 path)."""
     k1, b = BM25_K1, BM25_B
     return (
-        f"ln(({n_docs} - {df} + 0.5) / ({df} + 0.5)) * {k1 + 1} * {tf} "
-        f"/ ({k1} * ((1 - {b}) + {b} * {doc_len} / {avg_doc_len}) + {tf})"
+        f"ln(({n_docs} - {df} + 0.5) / ({df} + 0.5)) "
+        f"* ({k1 + 1} * {tf} / ({k1} * ((1 - {b}) + {b} * {doc_len} / {avg_doc_len}) + {tf}))"
     )

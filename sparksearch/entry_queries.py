@@ -123,10 +123,12 @@ H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def _bm25_score_sql() -> str:
+    # the pinned association (weight*idf)*tf_norm — bm25.bm25_contribution_sql
+    # twin with the CTE's column names
     k1, b = BM25_K1, BM25_B
     return (
-        f"q.weight * (ln((s.n_docs - l.df + 0.5) / (l.df + 0.5)) * {k1 + 1} * p.tf "
-        f"/ ({k1} * ((1 - {b}) + {b} * d.dl / s.avgdl) + p.tf))"
+        f"(q.weight * ln((s.n_docs - l.df + 0.5) / (l.df + 0.5))) "
+        f"* ({k1 + 1} * p.tf / ({k1} * ((1 - {b}) + {b} * d.dl / s.avgdl) + p.tf))"
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections import Counter
 from dataclasses import dataclass, field
 
-from ..bm25 import bm25_score_py
+from ..bm25 import bm25_contribution_py
 from ..constants import CONJUNCTIVE, TOP_K
 from ..tokenize import tokenize_text
 
@@ -68,8 +68,10 @@ def topk(idx: OracleIndex, query: str, mode: str, k: int = TOP_K) -> list[tuple[
         pl = idx.postings.get(term, [])
         df = len(pl)
         for doc_id, tf in pl:
-            s = bm25_score_py(tf, df, idx.doc_len[doc_id], idx.n_docs, idx.avg_doc_len)
-            scores[doc_id] = scores.get(doc_id, 0.0) + s * weight
+            s = bm25_contribution_py(
+                tf, df, idx.doc_len[doc_id], weight, idx.n_docs, idx.avg_doc_len
+            )
+            scores[doc_id] = scores.get(doc_id, 0.0) + s
             matched[doc_id] = matched.get(doc_id, 0) + 1
     if mode == CONJUNCTIVE:
         need = len(bag)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .bm25 import bm25_score
+from .bm25 import bm25_contribution
 from .constants import CONJUNCTIVE, TOP_K
 from .tokenize import tokenize_text
 
@@ -101,14 +101,19 @@ def score_postings(postings: DataFrame, lexicon: DataFrame, qterms: DataFrame, n
     )
     q_df = qterms.join(lex_slice, "term", "left").na.fill({"df": 0})
     joined = postings.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
-    partial = bm25_score(F.col("tf"), F.col("df"), F.col("doc_len"), n_docs, avg_doc_len)
+    # the pinned association (weight*idf)*tf_norm — see bm25.py module
+    # docstring; bit-identical to the compressed-index evaluators' per-
+    # posting contribution
+    partial = bm25_contribution(
+        F.col("tf"), F.col("df"), F.col("doc_len"), F.col("weight"), n_docs, avg_doc_len
+    )
     return joined.select(
         "query_id",
         "mode",
         "doc_id",
         "term",
         "n_terms",
-        (partial * F.col("weight").cast("double")).alias("partial_score"),
+        partial.alias("partial_score"),
     )
 
 

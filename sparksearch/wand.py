@@ -14,9 +14,25 @@ bytes.  The bounded top-k heap is the reference's findTopKscores heap
 (hw3/DataLoader.cpp:636-671) with the tie-break pinned to
 (score desc, doc_id asc).
 
+Per-posting contributions use the ONE pinned floating-point association
+``(weight * idf) * tf_norm`` (bm25.py module docstring), so a single
+contribution is bit-identical across every evaluator in this module, the
+exhaustive DataFrame scorer (query.py), the pure-Python oracle, and the
+DuckDB oracle SQL.  Multi-term SUM order is evaluator-dependent (Spark
+aggregates in partition order; the matrix path sums in term-index order),
+so raw-score equality across evaluators is only guaranteed for queries
+with <= 2 distinct terms (two-operand addition commutes exactly); the
+cross-evaluator RANK contract holds at micro resolution
+(round(score * 1e6) desc, doc_id asc) — the resolution the driver oracle
+pins.  Within one evaluator, ranking is deterministic at raw resolution
+with the doc_id tie-break; sub-micro tie ORDER across evaluators is
+unspecified.
+
 Upper bounds with the reference's UNCLAMPED idf (negative for df > N/2):
-contribution = weight * idf * tf_norm, so the per-block bound is
-``weight * (idf * max_tf_norm  if idf >= 0 else  idf * min_tf_norm)`` —
+contribution = (weight * idf) * tf_norm, so the per-block bound is
+``(weight * idf) * (max_tf_norm  if idf >= 0 else  min_tf_norm)`` —
+the SAME association as the score sites (a differently-associated bound
+can land 1 ulp below a true contribution and wrongly prune a θ-tie) —
 a bound CONDITIONAL on the doc containing the term.  Combining per-term
 bounds across a disjunctive query must respect that a doc may simply LACK
 a negative-bound term (contributing 0 > bound), so the combined bound is
@@ -141,8 +157,10 @@ class TermCursor:
         docs, tfs, dls = decode_chunk(payload, s, d_end, t_end, l_end)
         self._docs = docs
         # score the whole chunk vectorized on load (64 values) — the
-        # per-posting score read is then a plain array index
-        self._scores = self.weight * self.idf * tf_norm(
+        # per-posting score read is then a plain array index; scalar
+        # (weight*idf) binds first (left-assoc), matching bm25.py's pinned
+        # association
+        self._scores = (self.weight * self.idf) * tf_norm(
             tfs.astype(np.float64), dls.astype(np.float64), self.avg_dl
         )
         self.ci = ci
@@ -333,7 +351,10 @@ def blockmax_vectorized_topk(
     for term, (weight, idf, tb) in terms.items():
         per_bucket_bound: dict[int, float] = {}
         for b in tb.itertuples(index=False):
-            bd = weight * (idf * b.max_tf_norm if idf >= 0 else idf * b.min_tf_norm)
+            # same (weight*idf)*norm shape as the score sites (bm25.py pinned
+            # association) — a differently-associated bound can land 1 ulp
+            # BELOW a true contribution and wrongly prune an exact θ-tie
+            bd = (weight * idf) * (b.max_tf_norm if idf >= 0 else b.min_tf_norm)
             bk = int(b.bucket)
             per_bucket_bound[bk] = max(per_bucket_bound.get(bk, float("-inf")), bd)
             bucket_blocks.setdefault(bk, []).append((term, b))

@@ -402,7 +402,7 @@ def test_batch_list_qterms_and_shard_invariance(spark):
         assert got == truth, shards
     blocks.unpersist()
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -433,12 +433,232 @@ def _corpus_and_queries(draw):
 
 @settings(max_examples=8, deadline=None)
 @given(_corpus_and_queries())
+@example(
+    case=([(0, 'alpha', 2, 151),
+      (0, 'gamma', 2, 151),
+      (0, 'delta', 2, 151),
+      (1, 'alpha', 3, 254),
+      (1, 'beta', 2, 254),
+      (1, 'gamma', 3, 254),
+      (2, 'alpha', 3, 164),
+      (2, 'gamma', 1, 164),
+      (2, 'delta', 3, 164),
+      (3, 'alpha', 3, 300),
+      (3, 'beta', 2, 300),
+      (3, 'delta', 3, 300),
+      (4, 'beta', 3, 59),
+      (5, 'beta', 2, 274),
+      (5, 'gamma', 1, 274),
+      (5, 'delta', 2, 274),
+      (6, 'alpha', 2, 34),
+      (6, 'beta', 2, 34),
+      (6, 'gamma', 2, 34),
+      (7, 'alpha', 1, 158),
+      (7, 'beta', 3, 158),
+      (7, 'gamma', 1, 158),
+      (7, 'delta', 2, 158),
+      (8, 'alpha', 3, 65),
+      (8, 'beta', 1, 65),
+      (8, 'gamma', 3, 65),
+      (9, 'alpha', 2, 167),
+      (9, 'beta', 2, 167),
+      (9, 'gamma', 3, 167),
+      (9, 'delta', 3, 167),
+      (10, 'alpha', 3, 280),
+      (10, 'beta', 1, 280),
+      (10, 'delta', 2, 280),
+      (11, 'alpha', 1, 82),
+      (11, 'beta', 3, 82),
+      (11, 'gamma', 2, 82),
+      (11, 'delta', 3, 82),
+      (12, 'alpha', 1, 251),
+      (12, 'delta', 1, 251),
+      (13, 'beta', 2, 223),
+      (13, 'gamma', 3, 223),
+      (13, 'delta', 1, 223),
+      (14, 'beta', 3, 70),
+      (14, 'gamma', 2, 70),
+      (14, 'delta', 2, 70),
+      (15, 'alpha', 1, 234),
+      (15, 'beta', 1, 234),
+      (15, 'gamma', 3, 234),
+      (16, 'beta', 2, 296),
+      (16, 'gamma', 2, 296),
+      (16, 'delta', 2, 296),
+      (17, 'alpha', 3, 138),
+      (17, 'beta', 2, 138),
+      (17, 'gamma', 3, 138),
+      (17, 'delta', 1, 138),
+      (18, 'alpha', 1, 235),
+      (18, 'beta', 1, 235),
+      (19, 'alpha', 2, 208),
+      (19, 'delta', 1, 208),
+      (20, 'alpha', 3, 37),
+      (20, 'beta', 2, 37),
+      (20, 'delta', 1, 37),
+      (21, 'alpha', 3, 254),
+      (21, 'beta', 1, 254),
+      (21, 'gamma', 2, 254),
+      (21, 'delta', 3, 254),
+      (22, 'alpha', 2, 30),
+      (22, 'beta', 3, 30),
+      (22, 'gamma', 1, 30),
+      (22, 'delta', 3, 30),
+      (23, 'alpha', 2, 89),
+      (23, 'gamma', 3, 89),
+      (23, 'delta', 3, 89),
+      (24, 'beta', 2, 69),
+      (24, 'delta', 3, 69),
+      (25, 'beta', 3, 126),
+      (25, 'gamma', 2, 126),
+      (25, 'delta', 3, 126),
+      (26, 'alpha', 2, 265),
+      (26, 'beta', 1, 265),
+      (27, 'gamma', 2, 274),
+      (27, 'delta', 1, 274),
+      (28, 'alpha', 3, 146),
+      (28, 'beta', 1, 146),
+      (28, 'gamma', 3, 146),
+      (28, 'delta', 2, 146),
+      (29, 'gamma', 3, 170),
+      (29, 'delta', 2, 170),
+      (30, 'alpha', 1, 70),
+      (30, 'beta', 3, 70),
+      (30, 'gamma', 3, 70),
+      (30, 'delta', 3, 70),
+      (31, 'alpha', 2, 78),
+      (31, 'beta', 3, 78),
+      (31, 'gamma', 1, 78),
+      (31, 'delta', 3, 78),
+      (32, 'alpha', 1, 148),
+      (32, 'beta', 2, 148),
+      (32, 'gamma', 3, 148),
+      (33, 'alpha', 3, 240),
+      (33, 'beta', 2, 240),
+      (33, 'gamma', 1, 240),
+      (33, 'delta', 1, 240),
+      (34, 'alpha', 1, 221),
+      (34, 'beta', 1, 221),
+      (34, 'gamma', 2, 221),
+      (34, 'delta', 2, 221),
+      (35, 'alpha', 1, 136),
+      (35, 'beta', 2, 136),
+      (35, 'gamma', 1, 136),
+      (36, 'alpha', 2, 143),
+      (36, 'beta', 1, 143),
+      (36, 'delta', 3, 143),
+      (37, 'alpha', 3, 67),
+      (37, 'beta', 2, 67),
+      (37, 'gamma', 3, 67),
+      (37, 'delta', 3, 67),
+      (38, 'alpha', 2, 59),
+      (38, 'beta', 1, 59),
+      (39, 'delta', 3, 129),
+      (40, 'alpha', 3, 265),
+      (40, 'beta', 3, 265),
+      (40, 'delta', 3, 265),
+      (41, 'alpha', 3, 75),
+      (41, 'beta', 3, 75),
+      (41, 'gamma', 1, 75),
+      (42, 'alpha', 3, 188),
+      (42, 'beta', 2, 188),
+      (42, 'gamma', 1, 188),
+      (42, 'delta', 2, 188),
+      (43, 'alpha', 3, 296),
+      (43, 'beta', 2, 296),
+      (43, 'gamma', 3, 296),
+      (43, 'delta', 2, 296),
+      (44, 'alpha', 2, 153),
+      (44, 'beta', 2, 153),
+      (44, 'gamma', 1, 153),
+      (44, 'delta', 2, 153),
+      (45, 'alpha', 1, 275),
+      (45, 'beta', 2, 275),
+      (45, 'gamma', 1, 275),
+      (45, 'delta', 2, 275),
+      (46, 'alpha', 2, 223),
+      (46, 'beta', 2, 223),
+      (46, 'delta', 2, 223),
+      (47, 'alpha', 2, 179),
+      (47, 'gamma', 1, 179),
+      (47, 'delta', 3, 179),
+      (48, 'alpha', 2, 258),
+      (48, 'beta', 3, 258),
+      (48, 'gamma', 2, 258),
+      (48, 'delta', 3, 258),
+      (49, 'beta', 3, 110),
+      (49, 'delta', 2, 110),
+      (50, 'alpha', 1, 114),
+      (50, 'beta', 1, 114),
+      (50, 'gamma', 1, 114),
+      (50, 'delta', 3, 114),
+      (51, 'alpha', 2, 44),
+      (51, 'beta', 1, 44),
+      (51, 'gamma', 2, 44),
+      (52, 'alpha', 3, 113),
+      (52, 'beta', 2, 113),
+      (52, 'gamma', 1, 113),
+      (52, 'delta', 2, 113),
+      (53, 'alpha', 3, 67),
+      (53, 'gamma', 3, 67),
+      (54, 'delta', 1, 57),
+      (55, 'alpha', 1, 143),
+      (55, 'beta', 2, 143),
+      (55, 'gamma', 3, 143),
+      (56, 'beta', 3, 246),
+      (56, 'gamma', 3, 246),
+      (57, 'alpha', 1, 287),
+      (57, 'gamma', 3, 287),
+      (57, 'delta', 3, 287),
+      (58, 'alpha', 3, 258),
+      (58, 'beta', 3, 258),
+      (58, 'gamma', 3, 258),
+      (59, 'delta', 3, 235),
+      (60, 'gamma', 3, 218),
+      (60, 'delta', 3, 218),
+      (61, 'beta', 3, 76),
+      (61, 'delta', 3, 76),
+      (62, 'alpha', 2, 162),
+      (62, 'beta', 2, 162),
+      (62, 'gamma', 1, 162),
+      (62, 'delta', 3, 162),
+      (63, 'alpha', 2, 231),
+      (63, 'beta', 3, 231),
+      (63, 'gamma', 2, 231),
+      (63, 'delta', 3, 231),
+      (64, 'alpha', 3, 70),
+      (65, 'alpha', 2, 30),
+      (66, 'alpha', 3, 30),
+      (67, 'alpha', 2, 30),
+      (68, 'alpha', 1, 30),
+      (70, 'alpha', 2, 30),
+      (71, 'alpha', 3, 30),
+      (73, 'alpha', 1, 30),
+      (74, 'alpha', 3, 30),
+      (75, 'alpha', 1, 30),
+      (77, 'alpha', 1, 30),
+      (80, 'alpha', 1, 30)],
+     [(0, 'alpha', 'disjunctive')],
+     50,
+     1,
+     False),
+).via('discovered failure')
 def test_batch_property_matches_exhaustive(case):
-    """Property: for random corpora (including duplicate-score ties from
-    coarse tf/doc_len grids), random query bags (duplicate terms =
-    weights), any bucket_span/unbucketed layout, any shard count, pruning
-    on or off — wand_topk_batch is rank-identical to the exhaustive
-    postings-table evaluator."""
+    """Property (the engine's cross-evaluator contract, wand.py docstring):
+    for random corpora (including duplicate-score ties from coarse tf/doc_len
+    grids), random query bags (duplicate terms = weights), any
+    bucket_span/unbucketed layout, any shard count, pruning on or off —
+
+    1. wand_topk_batch is rank-identical to the exhaustive postings-table
+       evaluator at MICRO resolution (round(score*1e6) desc, doc_id asc),
+       the resolution the driver oracle pins; and
+    2. for queries with <= 2 distinct terms (where two-operand addition
+       commutes exactly, so cross-evaluator sum order cannot matter) the raw
+       scores are BIT-IDENTICAL — this checks the pinned (weight*idf)*tf_norm
+       association directly.  (>= 3-term sums are evaluator-order-dependent;
+       the committed @example below is the round-3 falsifying case where a
+       one-ulp multiply-association mismatch flipped a 5-way exact tie.)
+    """
     rows, qs, span, shards, prune = case
     if not rows:
         return
@@ -449,18 +669,35 @@ def test_batch_property_matches_exhaustive(case):
     n, avgdl = 500, 120.0
     lex = lexicon(posts).select("term", "df")
     qt = query_terms_df(spark, qs)
-    truth = sorted(
-        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
-        for r in topk(posts, lex, qt, n, avgdl, k=10).collect()
-    )
+    # exhaustive truth: ALL matching docs (k > corpus), micro-ranked here so
+    # the truncation itself realizes the micro contract
+    full = topk(posts, lex, qt, n, avgdl, k=10_000).collect()
+    by_q: dict[int, list] = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    truth = []
+    truth_raw = {}
+    for qid, docs in by_q.items():
+        docs.sort(key=lambda ds: (-round(ds[1] * 1e6), ds[0]))
+        for rank, (d, s) in enumerate(docs[:10], start=1):
+            truth.append((qid, rank, d, round(s * 1e6)))
+        for d, s in docs:
+            truth_raw[(qid, d)] = s
     blocks = build_block_index(posts, avgdl, bucket_span=span)
+    got_rows = wand_topk_batch(
+        blocks, lex, qt, n, avgdl, k=10, n_shards=shards, prune=prune,
+        micro_rank=True,
+    ).collect()
     got = sorted(
-        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
-        for r in wand_topk_batch(
-            blocks, lex, qt, n, avgdl, k=10, n_shards=shards, prune=prune
-        ).collect()
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"] * 1e6))
+        for r in got_rows
     )
-    assert got == truth
+    assert got == sorted(truth)
+    n_distinct = {qid: len(set(text.split())) for qid, text, _ in qs}
+    for r in got_rows:
+        if n_distinct[r["query_id"]] <= 2:
+            assert r["score"] == truth_raw[(r["query_id"], r["doc_id"])], (
+                r["query_id"], r["doc_id"])
 
 
 _HYP_SPARK = []
