@@ -18,12 +18,26 @@ Python oracle, DuckDB oracle SQL):
 This is the factorization the decode-once-score-many batch evaluator REQUIRES
 (the per-posting factor must not depend on the query term's idf/weight), so
 every other evaluator adopts it — doubles then match bit-for-bit per
-contribution between the Spark plan, numpy kernels (codec.tf_norm), the pure-
-Python oracle, and DuckDB SQL.  Multi-term SUM order is NOT pinned across
-evaluators (Spark aggregates in partition order); the cross-evaluator rank
-contract therefore holds at micro resolution (round(score * 1e6), doc_id asc)
-— see wand.py module docstring.  Everything here is a native column
-expression (whole-stage codegen; no UDF).
+contribution between the Spark plan, numpy kernels (codec.tf_norm), and the
+pure-Python oracle.
+
+idf is additionally pinned to ONE runtime: it is computed driver-side with
+Python's ``math.log`` (:func:`bm25_idf_py`) once per (term, N) and shipped to
+every evaluator as a plain double (a joined column in the Spark plans, a
+broadcast scalar in the numpy kernels).  Transcendental functions are NOT
+identically rounded across runtimes — JVM ``Math.log`` (``F.log``) can differ
+from libm by 1 ulp on the same input, which flips exact score ties between
+evaluators (the round-4 Hypothesis falsifying example).  +-*/ ARE correctly
+rounded everywhere (IEEE 754), so once idf is a shared double the whole
+contribution is bit-identical across JVM codegen and numpy.  Never reintroduce
+``F.log`` (or a second ``math.log`` call site with different argument
+arithmetic) for idf.
+
+Multi-term SUM order is NOT pinned across evaluators (Spark aggregates in
+partition order); the cross-evaluator rank contract therefore holds at micro
+resolution (round(score * 1e6), doc_id asc) — see wand.py module docstring.
+DuckDB's ``ln`` is also unpinned (its libm may differ by 1 ulp); oracle
+comparisons are micro-rounded, so this cannot flip a checked rank.
 """
 
 from __future__ import annotations
@@ -36,6 +50,13 @@ from pyspark.sql import functions as F
 from .constants import BM25_B, BM25_K1
 
 
+def bm25_idf_py(df: int, n_docs: int) -> float:
+    """THE idf definition: unclamped reference idf, evaluated with Python's
+    libm ``math.log``.  Every evaluator must receive idf from here (module
+    docstring: cross-runtime log rounding)."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5))
+
+
 def bm25_tf_norm(tf: Column, doc_len: Column, avg_doc_len: float) -> Column:
     """((k1+1)*tf) / (K+tf) — the query-independent factor; the Spark twin of
     codec.tf_norm (same op order, so index-time bound metadata and query-time
@@ -44,41 +65,26 @@ def bm25_tf_norm(tf: Column, doc_len: Column, avg_doc_len: float) -> Column:
     return F.lit(BM25_K1 + 1) * tf.cast("double") / (K + tf.cast("double"))
 
 
-def bm25_idf(df: Column, n_docs: int) -> Column:
-    return F.log(
-        (F.lit(float(n_docs)) - df.cast("double") + 0.5) / (df.cast("double") + 0.5)
-    )
-
-
 def bm25_contribution(
-    tf: Column, df: Column, doc_len: Column, weight: Column, n_docs: int, avg_doc_len: float
+    tf: Column, idf: Column, doc_len: Column, weight: Column, avg_doc_len: float
 ) -> Column:
-    """The pinned per-posting contribution: (weight * idf) * tf_norm."""
-    return (weight.cast("double") * bm25_idf(df, n_docs)) * bm25_tf_norm(
+    """The pinned per-posting contribution (weight * idf) * tf_norm as a
+    native column expression.  ``idf`` must be the PRECOMPUTED
+    :func:`bm25_idf_py` double joined into the plan — not an ``F.log``
+    expression (module docstring)."""
+    return (weight.cast("double") * idf.cast("double")) * bm25_tf_norm(
         tf, doc_len, avg_doc_len
     )
-
-
-def bm25_score(tf: Column, df: Column, doc_len: Column, n_docs: int, avg_doc_len: float) -> Column:
-    """Unweighted score idf * tf_norm (weight == 1 path; same association as
-    :func:`bm25_contribution` with the exact weight-1 multiply folded out)."""
-    return bm25_idf(df, n_docs) * bm25_tf_norm(tf, doc_len, avg_doc_len)
 
 
 def bm25_contribution_py(
     tf: int, df: int, doc_len: int, weight: float, n_docs: int, avg_doc_len: float
 ) -> float:
-    """Oracle-side scalar twin of :func:`bm25_contribution` (same op order)."""
+    """Oracle-side scalar twin of :func:`bm25_contribution` (same op order,
+    same idf definition)."""
     K = BM25_K1 * ((1 - BM25_B) + BM25_B * doc_len / avg_doc_len)
     tf_norm = (BM25_K1 + 1) * tf / (K + tf)
-    return (weight * math.log((n_docs - df + 0.5) / (df + 0.5))) * tf_norm
-
-
-def bm25_score_py(tf: int, df: int, doc_len: int, n_docs: int, avg_doc_len: float) -> float:
-    """Oracle-side scalar twin of :func:`bm25_score` (same op order)."""
-    K = BM25_K1 * ((1 - BM25_B) + BM25_B * doc_len / avg_doc_len)
-    tf_norm = (BM25_K1 + 1) * tf / (K + tf)
-    return math.log((n_docs - df + 0.5) / (df + 0.5)) * tf_norm
+    return (weight * bm25_idf_py(df, n_docs)) * tf_norm
 
 
 def bm25_contribution_sql(
@@ -87,18 +93,11 @@ def bm25_contribution_sql(
     """The pinned contribution as an ANSI-SQL fragment (DuckDB oracle).
 
     Parenthesized so DuckDB evaluates exactly (weight*idf) * (((k1+1)*tf)/(K+tf))
-    — left-assoc `a * b / c` == `(a*b)/c` matches numpy/Python."""
+    — left-assoc `a * b / c` == `(a*b)/c` matches numpy/Python.  DuckDB's
+    ``ln`` rounding is uncontrolled (module docstring); oracle results are
+    compared micro-rounded."""
     k1, b = BM25_K1, BM25_B
     return (
         f"({weight} * ln(({n_docs} - {df} + 0.5) / ({df} + 0.5))) "
-        f"* ({k1 + 1} * {tf} / ({k1} * ((1 - {b}) + {b} * {doc_len} / {avg_doc_len}) + {tf}))"
-    )
-
-
-def bm25_sql(tf: str, df: str, doc_len: str, n_docs: int, avg_doc_len: float) -> str:
-    """Unweighted score as an ANSI-SQL fragment (weight == 1 path)."""
-    k1, b = BM25_K1, BM25_B
-    return (
-        f"ln(({n_docs} - {df} + 0.5) / ({df} + 0.5)) "
         f"* ({k1 + 1} * {tf} / ({k1} * ((1 - {b}) + {b} * {doc_len} / {avg_doc_len}) + {tf}))"
     )

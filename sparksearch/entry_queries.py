@@ -34,7 +34,7 @@ from .analysis import (
 )
 from .ann import cosine_dup_pairs, cosine_topk, lsh_bucket_topk
 from .blocks import build_block_index, decode_block_index, index_size_stats
-from .constants import BM25_B, BM25_K1, CONJUNCTIVE, DISJUNCTIVE, SEPARATOR_REGEX, TOP_K
+from .constants import CONJUNCTIVE, DISJUNCTIVE, SEPARATOR_REGEX, TOP_K
 from .corpus import documents_from_testdata
 from .dedup import (
     exact_duplicates,
@@ -123,12 +123,13 @@ H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def _bm25_score_sql() -> str:
-    # the pinned association (weight*idf)*tf_norm — bm25.bm25_contribution_sql
-    # twin with the CTE's column names
-    k1, b = BM25_K1, BM25_B
-    return (
-        f"(q.weight * ln((s.n_docs - l.df + 0.5) / (l.df + 0.5))) "
-        f"* ({k1 + 1} * p.tf / ({k1} * ((1 - {b}) + {b} * d.dl / s.avgdl) + p.tf))"
+    # the pinned association (weight*idf)*tf_norm, single-sourced from
+    # bm25.bm25_contribution_sql with the CTE's column names
+    from .bm25 import bm25_contribution_sql
+
+    return bm25_contribution_sql(
+        tf="p.tf", df="l.df", doc_len="d.dl", weight="q.weight",
+        n_docs="s.n_docs", avg_doc_len="s.avgdl",
     )
 
 
@@ -445,6 +446,55 @@ _register(
     "wand_batch_topk_pruned",
     lambda spark, sf_dir: _spark_topk_batch(spark, sf_dir, DISJUNCTIVE, prune=True),
     _topk_sql(DISJUNCTIVE),
+)
+
+
+# 9c. the same batch evaluation over a LENGTH-ORDERED docID layout
+# (document reordering — corpus.length_ordered_documents): docIDs are
+# reassigned densely in ascending content-length order, which makes
+# per-bucket score bounds vary monotonically along the doc_id axis so the
+# batch evaluator's θ-skipping actually fires (the uniform driver layout
+# gives every bucket the same bound).  The oracle reproduces the id
+# remap exactly: dense rank over (lpad(length,10,'0'), repo, path) —
+# the same (unique) ordering key assign_dense_ids sorts on.
+def _spark_topk_batch_lenordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import length_ordered_documents
+    from .wand import wand_topk_batch
+
+    corpus = _docs(spark, sf_dir).select("repo", "path", "commit", "lang", "content")
+    docs = length_ordered_documents(corpus)
+    st = collection_stats(docs)
+    postings = postings_from_documents(docs)
+    lex = lexicon(postings).select("term", "df")
+    blocks = build_block_index(postings, st["avg_doc_len"], bucket_span=128)
+    qt = query_terms_df(spark, [q for q in QUERY_SET if q[2] == DISJUNCTIVE])
+    raw = wand_topk_batch(
+        blocks, lex, qt, st["n_docs"], st["avg_doc_len"], k=TOP_K,
+        prune=True, micro_rank=True,
+    )
+    return raw.select(
+        "query_id", "rank", "doc_id", micro(F.col("score")).alias("score_micro")
+    )
+
+
+def _topk_sql_lenordered(mode: str) -> str:
+    # the standard top-k oracle over documents with length-ordered ids:
+    # prepend the id-remap CTE and point every scan at it (the base SQL
+    # has no other 'FROM documents' / 'WITH ' occurrences by construction)
+    remap = (
+        "documents_lo AS (SELECT row_number() OVER (ORDER BY "
+        "lpad(CAST(length(text) AS VARCHAR), 10, '0'), source, "
+        "source || '/' || CAST(doc_id AS VARCHAR)) - 1 AS doc_id, text "
+        "FROM documents)"
+    )
+    base = _topk_sql(mode).replace("FROM documents)", "FROM documents_lo)")
+    return base.replace("WITH ", f"WITH {remap},\n", 1)
+
+
+_register(
+    "wand_batch_topk_lenordered",
+    _spark_topk_batch_lenordered,
+    _topk_sql_lenordered(DISJUNCTIVE),
 )
 
 # 10. exact dedup by sha256

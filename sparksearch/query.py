@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .bm25 import bm25_contribution
+from .bm25 import bm25_contribution, bm25_idf_py
 from .constants import CONJUNCTIVE, TOP_K
 from .tokenize import tokenize_text
 
@@ -99,13 +99,23 @@ def score_postings(postings: DataFrame, lexicon: DataFrame, qterms: DataFrame, n
     lex_slice = lexicon.select("term", *[c for c in ("df",) if c in lexicon.columns]).filter(
         F.col("term").isin(query_vocab)
     )
-    q_df = qterms.join(lex_slice, "term", "left").na.fill({"df": 0})
+    # idf computed ONCE driver-side (Python libm — bm25.bm25_idf_py; the
+    # JVM's Math.log can differ by 1 ulp, flipping exact ties vs the numpy
+    # evaluators) and joined in as a plain double.  The collect is
+    # O(|query vocab|) — the same tiny lexicon slice wand.py collects.
+    dfs = {r["term"]: int(r["df"]) for r in lex_slice.collect()}
+    spark = qterms.sparkSession
+    idf_df = spark.createDataFrame(
+        [(t, bm25_idf_py(dfs.get(t, 0), n_docs)) for t in query_vocab],
+        "term string, idf double",
+    )
+    q_df = qterms.join(idf_df, "term", "left")
     joined = postings.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
     # the pinned association (weight*idf)*tf_norm — see bm25.py module
     # docstring; bit-identical to the compressed-index evaluators' per-
     # posting contribution
     partial = bm25_contribution(
-        F.col("tf"), F.col("df"), F.col("doc_len"), F.col("weight"), n_docs, avg_doc_len
+        F.col("tf"), F.col("idf"), F.col("doc_len"), F.col("weight"), avg_doc_len
     )
     return joined.select(
         "query_id",

@@ -60,14 +60,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bm25 import bm25_idf_py
 from .codec import chunk_offsets, decode_block, decode_chunk, tf_norm
 from .constants import CONJUNCTIVE, TOP_K
 
-# {blocks DataFrame -> {vocab tuple -> collected (bucket, term, mx, mn)
-# rows}} for wand_topk_batch's θ-gate metadata pass (see its prune block)
+# {blocks DataFrame -> LRU{vocab tuple -> collected (bucket, term, mx, mn)
+# rows}} for wand_topk_batch's θ-gate metadata pass (see its prune block);
+# the inner map is bounded so diverse query batches against one index
+# cannot grow driver memory without limit
 import weakref
+from collections import OrderedDict
 
 _META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_META_CACHE_PER_DF = 8
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -625,15 +630,14 @@ def wand_topk_batch(
         r["term"]: int(r["df"])
         for r in lexicon.select("term", "df").filter(F.col("term").isin(vocab)).collect()
     }
-    import math
-
     all_queries: dict[int, dict] = {}
     for r in rows:
         q = all_queries.setdefault(
             int(r["query_id"]), {"mode": r["mode"], "n_terms": int(r["n_terms"]), "terms": {}}
         )
         df = lex_rows.get(r["term"], 0)
-        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        # the one idf definition (bm25.py: Python libm, never JVM F.log)
+        idf = bm25_idf_py(df, n_docs)
         q["terms"][r["term"]] = (float(r["weight"]), idf)
     # signature dedup: real batch workloads repeat queries (retries, head
     # queries, templated expansions) — identical (mode, weighted term bag)
@@ -962,16 +966,25 @@ def wand_topk_batch(
         # the cache every call pays a metadata job whose only purpose on
         # a uniform corpus is to let the gate decline.  WeakKeyDictionary:
         # entries die with the DataFrame object, so a rebuilt index (a
-        # new DataFrame) can never hit a stale entry.
+        # new DataFrame) can never hit a stale entry.  The per-DataFrame
+        # map is a small LRU (_META_CACHE_PER_DF entries, move-to-end on
+        # hit): a long-running service with diverse query vocabularies
+        # must not grow O(buckets x terms) rows per distinct vocab without
+        # bound (ADVICE r3).
         meta_key = tuple(vocab)
-        meta = _META_CACHE.setdefault(blocks, {}).get(meta_key)
+        per_df = _META_CACHE.setdefault(blocks, OrderedDict())
+        meta = per_df.get(meta_key)
         if meta is None:
             meta = (
                 sel.groupBy("bucket", "term")
                 .agg(F.max("max_tf_norm").alias("mx"), F.min("min_tf_norm").alias("mn"))
                 .collect()
             )
-            _META_CACHE[blocks][meta_key] = meta
+            per_df[meta_key] = meta
+            while len(per_df) > _META_CACHE_PER_DF:
+                per_df.popitem(last=False)
+        else:
+            per_df.move_to_end(meta_key)
         buckets_sorted = sorted({int(r["bucket"]) for r in meta})
         bk_pos = {bk: i for i, bk in enumerate(buckets_sorted)}
         n_b = len(buckets_sorted)
@@ -1148,13 +1161,20 @@ def wand_topk(
     # would scan the whole index (the Spark analog of the reference's
     # lexicon-offset random access, hw3/DataLoader.cpp:316-365).
     query_vocab = [r["term"] for r in qterms.select("term").distinct().collect()]
-    lex_slice = lexicon.select("term", "df").filter(F.col("term").isin(query_vocab))
-    q_df = qterms.join(lex_slice, "term", "left").na.fill({"df": 0})
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
+    # df + idf resolved driver-side from the tiny lexicon slice: idf MUST
+    # come from the one Python-libm definition (bm25.bm25_idf_py) — the
+    # JVM's Math.log can differ by 1 ulp and flip exact score ties between
+    # this path and the numpy/batch evaluators (bm25.py module docstring)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in lexicon.select("term", "df").filter(F.col("term").isin(query_vocab)).collect()
+    }
+    spark = qterms.sparkSession
+    idf_df = spark.createDataFrame(
+        [(t, dfs.get(t, 0), bm25_idf_py(dfs.get(t, 0), n_docs)) for t in query_vocab],
+        "term string, df long, idf double",
     )
-    q_df = q_df.withColumn("idf", idf)
+    q_df = qterms.join(idf_df, "term", "left")
     joined = blocks.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -643,6 +643,127 @@ def _corpus_and_queries(draw):
      1,
      False),
 ).via('discovered failure')
+@example(
+    case=([(0, 'alpha', 1, 226),
+      (0, 'beta', 2, 226),
+      (0, 'delta', 3, 226),
+      (1, 'alpha', 1, 208),
+      (1, 'beta', 1, 208),
+      (1, 'gamma', 3, 208),
+      (2, 'alpha', 2, 36),
+      (2, 'gamma', 3, 36),
+      (2, 'delta', 1, 36),
+      (3, 'alpha', 1, 214),
+      (3, 'beta', 2, 214),
+      (3, 'gamma', 1, 214),
+      (3, 'delta', 1, 214),
+      (4, 'alpha', 2, 159),
+      (4, 'beta', 1, 159),
+      (4, 'gamma', 2, 159),
+      (4, 'delta', 3, 159),
+      (5, 'alpha', 1, 51),
+      (5, 'delta', 1, 51),
+      (6, 'alpha', 3, 36),
+      (6, 'beta', 1, 36),
+      (6, 'gamma', 2, 36),
+      (6, 'delta', 2, 36),
+      (7, 'alpha', 2, 57),
+      (7, 'gamma', 1, 57),
+      (8, 'beta', 3, 186),
+      (8, 'delta', 3, 186),
+      (9, 'alpha', 2, 267),
+      (9, 'beta', 3, 267),
+      (9, 'gamma', 2, 267),
+      (9, 'delta', 1, 267),
+      (10, 'beta', 1, 233),
+      (10, 'gamma', 2, 233),
+      (10, 'delta', 2, 233),
+      (11, 'alpha', 1, 274),
+      (11, 'gamma', 3, 274),
+      (12, 'alpha', 2, 246),
+      (12, 'beta', 2, 246),
+      (12, 'gamma', 2, 246),
+      (12, 'delta', 2, 246),
+      (13, 'alpha', 1, 189),
+      (13, 'beta', 3, 189),
+      (13, 'delta', 3, 189),
+      (14, 'beta', 1, 30),
+      (14, 'delta', 1, 30),
+      (15, 'alpha', 2, 236),
+      (15, 'beta', 2, 236),
+      (15, 'gamma', 3, 236),
+      (15, 'delta', 2, 236),
+      (16, 'beta', 1, 244),
+      (16, 'delta', 2, 244),
+      (17, 'alpha', 2, 144),
+      (17, 'beta', 3, 144),
+      (17, 'gamma', 3, 144),
+      (17, 'delta', 1, 144),
+      (18, 'alpha', 1, 108),
+      (18, 'gamma', 1, 108),
+      (18, 'delta', 3, 108),
+      (19, 'alpha', 3, 261),
+      (19, 'delta', 1, 261),
+      (20, 'alpha', 3, 199),
+      (20, 'beta', 3, 199),
+      (20, 'gamma', 1, 199),
+      (21, 'alpha', 3, 115),
+      (21, 'gamma', 2, 115),
+      (22, 'beta', 3, 30),
+      (23, 'alpha', 1, 115),
+      (23, 'beta', 2, 115),
+      (23, 'gamma', 2, 115),
+      (23, 'delta', 1, 115),
+      (24, 'alpha', 1, 238),
+      (24, 'beta', 3, 238),
+      (24, 'gamma', 2, 238),
+      (24, 'delta', 2, 238),
+      (25, 'alpha', 1, 76),
+      (25, 'beta', 3, 76),
+      (25, 'delta', 2, 76),
+      (26, 'beta', 2, 289),
+      (26, 'gamma', 1, 289),
+      (26, 'delta', 2, 289),
+      (27, 'beta', 3, 121),
+      (27, 'gamma', 2, 121),
+      (27, 'delta', 3, 121),
+      (28, 'beta', 2, 186),
+      (28, 'gamma', 1, 186),
+      (28, 'delta', 1, 186),
+      (29, 'alpha', 1, 122),
+      (29, 'beta', 3, 122),
+      (29, 'delta', 2, 122),
+      (30, 'beta', 1, 287),
+      (30, 'gamma', 1, 287),
+      (30, 'delta', 2, 287),
+      (31, 'alpha', 3, 143),
+      (31, 'beta', 1, 143),
+      (31, 'gamma', 1, 143),
+      (31, 'delta', 3, 143),
+      (32, 'alpha', 2, 202),
+      (32, 'beta', 2, 202),
+      (32, 'gamma', 1, 202),
+      (32, 'delta', 1, 202),
+      (33, 'alpha', 2, 98),
+      (33, 'beta', 3, 98),
+      (33, 'gamma', 3, 98),
+      (33, 'delta', 1, 98),
+      (34, 'alpha', 2, 179),
+      (34, 'beta', 1, 179),
+      (34, 'gamma', 1, 179),
+      (35, 'alpha', 2, 130),
+      (38, 'alpha', 1, 30),
+      (39, 'alpha', 1, 30),
+      (41, 'alpha', 3, 30),
+      (43, 'alpha', 3, 30),
+      (44, 'alpha', 2, 30),
+      (45, 'alpha', 3, 30),
+      (47, 'alpha', 2, 30)],
+     [(0, 'alpha', 'disjunctive')],
+     50,
+     1,
+     False),
+).via('discovered failure')
 def test_batch_property_matches_exhaustive(case):
     """Property (the engine's cross-evaluator contract, wand.py docstring):
     for random corpora (including duplicate-score ties from coarse tf/doc_len
