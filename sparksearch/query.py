@@ -109,7 +109,7 @@ def score_postings(postings: DataFrame, lexicon: DataFrame, qterms: DataFrame, n
         [(t, bm25_idf_py(dfs.get(t, 0), n_docs)) for t in query_vocab],
         "term string, idf double",
     )
-    q_df = qterms.join(idf_df, "term", "left")
+    q_df = qterms.join(F.broadcast(idf_df), "term", "left")
     joined = postings.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
     # the pinned association (weight*idf)*tf_norm — see bm25.py module
     # docstring; bit-identical to the compressed-index evaluators' per-

@@ -1174,7 +1174,7 @@ def wand_topk(
         [(t, dfs.get(t, 0), bm25_idf_py(dfs.get(t, 0), n_docs)) for t in query_vocab],
         "term string, df long, idf double",
     )
-    q_df = qterms.join(idf_df, "term", "left")
+    q_df = qterms.join(F.broadcast(idf_df), "term", "left")
     joined = blocks.filter(F.col("term").isin(query_vocab)).join(F.broadcast(q_df), "term")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
