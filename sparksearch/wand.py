@@ -53,6 +53,7 @@ order.
 from __future__ import annotations
 
 import heapq
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -73,6 +74,39 @@ from collections import OrderedDict
 
 _META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _META_CACHE_PER_DF = 8
+
+# {lexicon DataFrame -> {term -> df}} incremental cache for the driver-side
+# df/idf resolution in wand_topk / wand_topk_batch: a batch service resolves
+# many query batches against one immutable lexicon snapshot, and each resolve
+# was one collect JOB — a fixed serial driver cost per call (profiled ~0.2 s)
+# that capped measured short-phase 4x-core scaling.  Only terms not yet
+# cached are fetched; absent terms cache as df=0 so they are never re-probed.
+_LEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_LEX_CACHE_MAX_TERMS = 1 << 16
+
+
+def _lexicon_dfs(lexicon: DataFrame, vocab: list[str]) -> dict[str, int]:
+    """df counts for ``vocab`` from the lexicon, incrementally cached per
+    lexicon DataFrame object.  WeakKeyDictionary: entries die with the
+    DataFrame, so a rebuilt lexicon (a new object) can never serve stale
+    counts.  The per-DataFrame dict is cleared if it would outgrow
+    ``_LEX_CACHE_MAX_TERMS`` (query vocabularies are tiny; the bound only
+    guards a pathological unbounded-vocabulary service, mirroring the
+    _META_CACHE LRU bound)."""
+    cache = _LEX_CACHE.setdefault(lexicon, {})
+    missing = [t for t in vocab if t not in cache]
+    if missing:
+        if len(cache) + len(missing) > _LEX_CACHE_MAX_TERMS:
+            cache.clear()
+        found = {
+            r["term"]: int(r["df"])
+            for r in lexicon.select("term", "df")
+            .filter(F.col("term").isin(missing))
+            .collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in vocab}
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -523,6 +557,104 @@ def blockmax_vectorized_topk(
     return ranked, chunks_total, chunks_decoded
 
 
+def _prune_gate(
+    queries: dict[int, dict],
+    idf_by_term: dict[str, float],
+    term_arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    buckets_sorted: list[int],
+    n_b: int,
+) -> tuple[dict[int, int], int, int]:
+    """Seed-bucket selection + skip-potential estimate for the batch θ-skip
+    (see :func:`wand_topk_batch`'s prune block): per query, the bound over
+    every bucket from per-(bucket, term) tf_norm extremes; the seed is the
+    bucket with the highest bound; a (query, bucket) pair counts as skip
+    POTENTIAL when its bound sits clearly below the query's MEDIAN bound
+    (not the best — a single rare-term bucket would make every other bucket
+    look skippable when the real θ is far lower).  Uniform corpora cluster
+    within ~5% of the median -> zero potential -> the auto gate declines.
+
+    Vectorized over QUERY BLOCKS: per-query numpy calls over a (n_buckets,)
+    axis cost ~0.3 s driver-SERIAL at 3k queries x 150 buckets — a fixed
+    per-call cost that capped measured short-phase 4x-core scaling.  idf is
+    a per-TERM global (one definition, bm25_idf_py), so the mx-vs-mn base
+    selection hoists out of the query loop; each term slot of a block is
+    then one (B, n_buckets) masked accumulation, identical arithmetic to
+    the per-query formulation (tests/test_wand.py pins the equivalence
+    against a straight scalar port).
+
+    Returns (seed_of {qid: seed bucket}, valid_pairs, potential_pairs).
+    """
+    seed_of: dict[int, int] = {}
+    potential_pairs = 0
+    valid_pairs = 0
+    qitems_all = list(queries.items())
+    if not term_arrays or not qitems_all:
+        return seed_of, valid_pairs, potential_pairs
+    terms_list = list(term_arrays)
+    tpos = {t: i for i, t in enumerate(terms_list)}
+    mx_a = np.stack([term_arrays[t][0] for t in terms_list])
+    mn_a = np.stack([term_arrays[t][1] for t in terms_list])
+    pres_a = np.stack([term_arrays[t][2] for t in terms_list])
+    base_is_mx = np.array([idf_by_term.get(t, 0.0) >= 0 for t in terms_list])
+    base_a = np.where(base_is_mx[:, None], mx_a, mn_a)
+    max_s = max(len(q["terms"]) for _, q in qitems_all)
+    # block size bounds temp memory at ~1024 x n_buckets doubles per array
+    for blk in range(0, len(qitems_all), 1024):
+        part = qitems_all[blk : blk + 1024]
+        nq = len(part)
+        tidx = np.zeros((nq, max_s), np.int64)
+        slot_ok = np.zeros((nq, max_s), bool)
+        wi = np.zeros((nq, max_s))
+        missing_q = np.zeros(nq, bool)
+        conj = np.zeros(nq, bool)
+        for r, (qid, q) in enumerate(part):
+            conj[r] = q["mode"] == CONJUNCTIVE
+            for s, (t, (w, idf)) in enumerate(q["terms"].items()):
+                ti = tpos.get(t)
+                if ti is None:
+                    missing_q[r] = True
+                    continue
+                tidx[r, s] = ti
+                slot_ok[r, s] = True
+                wi[r, s] = w * idf
+        acc_sum = np.zeros((nq, n_b))
+        acc_pos = np.zeros((nq, n_b))
+        best_term = np.full((nq, n_b), -np.inf)
+        all_present = np.ones((nq, n_b), bool)
+        any_present = np.zeros((nq, n_b), bool)
+        for s in range(max_s):
+            ok = slot_ok[:, s]
+            if not ok.any():
+                continue
+            pres = pres_a[tidx[:, s]]
+            bd = wi[:, s : s + 1] * base_a[tidx[:, s]]
+            m = ok[:, None] & pres
+            acc_sum += np.where(m, bd, 0.0)
+            acc_pos += np.where(m & (bd > 0), bd, 0.0)
+            best_term = np.where(m, np.maximum(best_term, bd), best_term)
+            # pad / missing-term slots do not constrain presence
+            all_present &= ~ok[:, None] | pres
+            any_present |= m
+        valid = np.where(conj[:, None], all_present & ~missing_q[:, None], any_present)
+        bound = np.where(conj[:, None], acc_sum, np.where(acc_pos > 0, acc_pos, best_term))
+        has_valid = valid.any(axis=1)
+        bm = np.where(valid, bound, np.nan)
+        # all-NaN rows (no valid bucket) are filtered by has_valid below;
+        # nanmedian reports them via warnings, not the FP err state
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ref = np.nanmedian(bm, axis=1)
+        margin = 0.05 * np.maximum(1.0, np.abs(ref))
+        below = valid & (bound < (ref - margin)[:, None])
+        valid_pairs += int(valid[has_valid].sum())
+        potential_pairs += int(below[has_valid].sum())
+        best_i = np.argmax(np.where(valid, bound, -np.inf), axis=1)
+        for r, (qid, _q) in enumerate(part):
+            if has_valid[r]:
+                seed_of[qid] = buckets_sorted[int(best_i[r])]
+    return seed_of, valid_pairs, potential_pairs
+
+
 def wand_topk_batch(
     blocks: DataFrame,
     lexicon: DataFrame,
@@ -626,19 +758,16 @@ def wand_topk_batch(
     else:
         rows = qterms.select("query_id", "term", "weight", "mode", "n_terms").collect()
     vocab = sorted({r["term"] for r in rows})
-    lex_rows = {
-        r["term"]: int(r["df"])
-        for r in lexicon.select("term", "df").filter(F.col("term").isin(vocab)).collect()
-    }
+    lex_rows = _lexicon_dfs(lexicon, vocab)
+    # the one idf definition (bm25.py: Python libm, never JVM F.log),
+    # computed once per DISTINCT term, not once per (query, term) row
+    idf_by_term = {t: bm25_idf_py(lex_rows.get(t, 0), n_docs) for t in vocab}
     all_queries: dict[int, dict] = {}
     for r in rows:
         q = all_queries.setdefault(
             int(r["query_id"]), {"mode": r["mode"], "n_terms": int(r["n_terms"]), "terms": {}}
         )
-        df = lex_rows.get(r["term"], 0)
-        # the one idf definition (bm25.py: Python libm, never JVM F.log)
-        idf = bm25_idf_py(df, n_docs)
-        q["terms"][r["term"]] = (float(r["weight"]), idf)
+        q["terms"][r["term"]] = (float(r["weight"]), idf_by_term[r["term"]])
     # signature dedup: real batch workloads repeat queries (retries, head
     # queries, templated expansions) — identical (mode, weighted term bag)
     # signatures are evaluated ONCE and the ranked result is replicated to
@@ -1000,51 +1129,9 @@ def wand_topk_batch(
             mx, mn, pres = term_arrays[t]
             i = bk_pos[int(r["bucket"])]
             mx[i], mn[i], pres[i] = float(r["mx"]), float(r["mn"]), True
-        seed_of: dict[int, int] = {}
-        potential_pairs = 0
-        valid_pairs = 0
-        for qid, q in queries.items():
-            conj = q["mode"] == CONJUNCTIVE
-            all_present = np.ones(n_b, bool)
-            any_present = np.zeros(n_b, bool)
-            acc_sum = np.zeros(n_b)
-            acc_pos = np.zeros(n_b)
-            best_term = np.full(n_b, -np.inf)
-            missing_term = False
-            for t, (w, idf) in q["terms"].items():
-                arr = term_arrays.get(t)
-                if arr is None:
-                    missing_term = True
-                    continue
-                mx, mn, pres = arr
-                bd = (w * idf) * (mx if idf >= 0 else mn)
-                acc_sum += np.where(pres, bd, 0.0)
-                acc_pos += np.where(pres & (bd > 0), bd, 0.0)
-                best_term = np.maximum(best_term, np.where(pres, bd, -np.inf))
-                all_present &= pres
-                any_present |= pres
-            if conj:
-                valid = np.zeros(n_b, bool) if missing_term else all_present
-                bound = acc_sum
-            else:
-                valid = any_present
-                bound = np.where(acc_pos > 0, acc_pos, best_term)
-            if not valid.any():
-                continue
-            b_masked = np.where(valid, bound, -np.inf)
-            best_i = int(np.argmax(b_masked))
-            seed_of[qid] = buckets_sorted[best_i]
-            # gate estimate: θ lands in the bulk of achievable scores, so a
-            # bucket is plausibly skippable when its bound sits clearly
-            # below the MEDIAN bound (not the best — a single rare-term
-            # bucket would make every other bucket look skippable when the
-            # real θ is far lower).  Uniform corpora cluster within ~5% of
-            # the median -> zero potential -> gate declines.
-            vb = bound[valid]
-            ref = float(np.median(vb))
-            margin = 0.05 * max(1.0, abs(ref))
-            valid_pairs += int(valid.sum())
-            potential_pairs += int((vb < ref - margin).sum())
+        seed_of, valid_pairs, potential_pairs = _prune_gate(
+            queries, idf_by_term, term_arrays, buckets_sorted, n_b
+        )
         # the gate must weigh potential against the θ-derivation COST, not
         # just detect heterogeneity.  Economics: a skipped (query, bucket)
         # saves only that query's dense accumulation — the bucket still
@@ -1165,10 +1252,7 @@ def wand_topk(
     # come from the one Python-libm definition (bm25.bm25_idf_py) — the
     # JVM's Math.log can differ by 1 ulp and flip exact score ties between
     # this path and the numpy/batch evaluators (bm25.py module docstring)
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in lexicon.select("term", "df").filter(F.col("term").isin(query_vocab)).collect()
-    }
+    dfs = _lexicon_dfs(lexicon, query_vocab)
     spark = qterms.sparkSession
     idf_df = spark.createDataFrame(
         [(t, dfs.get(t, 0), bm25_idf_py(dfs.get(t, 0), n_docs)) for t in query_vocab],
