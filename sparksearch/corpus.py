@@ -130,6 +130,15 @@ def assign_dense_ids(
     per bucket → cumulative offsets (tiny collect), (3) shuffle by bucket +
     sort-within + offset-add in mapInPandas.  This is the distributed analog
     of the reference's sequential docID assignment (hw2/DataLoader.cpp:93,110).
+
+    INVARIANT: ``order_cols`` values must not contain ``\\x00``/``\\x01``
+    control characters.  The total order here compares the
+    ``\\x01``-joined concatenation, while SQL oracles (e.g. DuckDB's
+    lenordered remap) compare the column TUPLE — the two orders agree
+    exactly when no value contains a codepoint ≤ the separator.  Corpus
+    identifiers (repo, path, zero-padded lengths) satisfy this by
+    construction; an ingest adapter feeding arbitrary bytes must sanitize
+    or pre-escape them first (ADVICE r4).
     """
     spark = df.sparkSession
     if num_partitions is None:

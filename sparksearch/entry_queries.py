@@ -487,7 +487,17 @@ def _topk_sql_lenordered(mode: str) -> str:
         "source || '/' || CAST(doc_id AS VARCHAR)) - 1 AS doc_id, text "
         "FROM documents)"
     )
-    base = _topk_sql(mode).replace("FROM documents)", "FROM documents_lo)")
+    base = _topk_sql(mode)
+    # hard-fail if _topk_sql's shape drifts (e.g. an aliased 'FROM documents d'
+    # scan) — a silently-unreplaced scan would keep original doc_ids and only
+    # surface as a confusing hash mismatch at driver-parity time (ADVICE r4)
+    n_scans = base.count("FROM documents)")
+    assert n_scans == 3 and base.count("FROM documents") == n_scans, (
+        f"_topk_sql shape changed ({n_scans} 'FROM documents)' scans); "
+        "update _topk_sql_lenordered's rewrite"
+    )
+    assert base.count("WITH ") == 1
+    base = base.replace("FROM documents)", "FROM documents_lo)")
     return base.replace("WITH ", f"WITH {remap},\n", 1)
 
 

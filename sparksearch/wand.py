@@ -69,11 +69,19 @@ from .constants import CONJUNCTIVE, TOP_K
 # rows}} for wand_topk_batch's θ-gate metadata pass (see its prune block);
 # the inner map is bounded so diverse query batches against one index
 # cannot grow driver memory without limit
+import threading
 import weakref
 from collections import OrderedDict
 
 _META_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _META_CACHE_PER_DF = 8
+
+# guards mutation of _META_CACHE / _LEX_CACHE: a long-running batch service
+# may drive wand_topk_batch from several driver threads, and an unguarded
+# OrderedDict move_to_end/popitem race corrupts the LRU (ADVICE r4).  Spark
+# collects happen OUTSIDE the lock — a lost race costs one redundant
+# metadata job, never a wrong answer.
+_CACHE_LOCK = threading.Lock()
 
 # {lexicon DataFrame -> {term -> df}} incremental cache for the driver-side
 # df/idf resolution in wand_topk / wand_topk_batch: a batch service resolves
@@ -84,6 +92,9 @@ _META_CACHE_PER_DF = 8
 _LEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _LEX_CACHE_MAX_TERMS = 1 << 16
 
+# _prune_gate temp-memory budget: elements per (query-block x buckets) array
+_GATE_TARGET_ELEMS = 16 << 20
+
 
 def _lexicon_dfs(lexicon: DataFrame, vocab: list[str]) -> dict[str, int]:
     """df counts for ``vocab`` from the lexicon, incrementally cached per
@@ -93,11 +104,11 @@ def _lexicon_dfs(lexicon: DataFrame, vocab: list[str]) -> dict[str, int]:
     ``_LEX_CACHE_MAX_TERMS`` (query vocabularies are tiny; the bound only
     guards a pathological unbounded-vocabulary service, mirroring the
     _META_CACHE LRU bound)."""
-    cache = _LEX_CACHE.setdefault(lexicon, {})
-    missing = [t for t in vocab if t not in cache]
+    with _CACHE_LOCK:
+        cache = _LEX_CACHE.setdefault(lexicon, {})
+        out = {t: cache[t] for t in vocab if t in cache}
+    missing = [t for t in vocab if t not in out]
     if missing:
-        if len(cache) + len(missing) > _LEX_CACHE_MAX_TERMS:
-            cache.clear()
         found = {
             r["term"]: int(r["df"])
             for r in lexicon.select("term", "df")
@@ -105,8 +116,16 @@ def _lexicon_dfs(lexicon: DataFrame, vocab: list[str]) -> dict[str, int]:
             .collect()
         }
         for t in missing:
-            cache[t] = found.get(t, 0)
-    return {t: cache[t] for t in vocab}
+            out[t] = found.get(t, 0)
+        with _CACHE_LOCK:
+            # answer from `out` (complete by construction) BEFORE the bound
+            # clears the cache: clearing then refilling only `missing` would
+            # drop already-cached vocab terms mid-call
+            if len(cache) + len(missing) > _LEX_CACHE_MAX_TERMS:
+                cache.clear()
+            for t in missing:
+                cache[t] = out[t]
+    return out
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -598,9 +617,15 @@ def _prune_gate(
     base_is_mx = np.array([idf_by_term.get(t, 0.0) >= 0 for t in terms_list])
     base_a = np.where(base_is_mx[:, None], mx_a, mn_a)
     max_s = max(len(q["terms"]) for _, q in qitems_all)
-    # block size bounds temp memory at ~1024 x n_buckets doubles per array
-    for blk in range(0, len(qitems_all), 1024):
-        part = qitems_all[blk : blk + 1024]
+    # ADAPTIVE query-block size: ~6 live (B, n_buckets) float64 temporaries
+    # exist per block, so bound B*n_buckets ELEMENTS (not B alone) — a fixed
+    # B=1024 at a production 10^5-bucket geometry is ~0.8 GB per array on
+    # the driver (ADVICE r4); 16M elements keeps the live set under ~1 GB
+    # total regardless of bucket count, and B=1024 remains the cap so small
+    # indexes keep the measured blocking.
+    qblk = max(1, min(1024, _GATE_TARGET_ELEMS // max(n_b, 1)))
+    for blk in range(0, len(qitems_all), qblk):
+        part = qitems_all[blk : blk + qblk]
         nq = len(part)
         tidx = np.zeros((nq, max_s), np.int64)
         slot_ok = np.zeros((nq, max_s), bool)
@@ -1101,19 +1126,21 @@ def wand_topk_batch(
         # must not grow O(buckets x terms) rows per distinct vocab without
         # bound (ADVICE r3).
         meta_key = tuple(vocab)
-        per_df = _META_CACHE.setdefault(blocks, OrderedDict())
-        meta = per_df.get(meta_key)
+        with _CACHE_LOCK:
+            per_df = _META_CACHE.setdefault(blocks, OrderedDict())
+            meta = per_df.get(meta_key)
+            if meta is not None:
+                per_df.move_to_end(meta_key)
         if meta is None:
             meta = (
                 sel.groupBy("bucket", "term")
                 .agg(F.max("max_tf_norm").alias("mx"), F.min("min_tf_norm").alias("mn"))
                 .collect()
             )
-            per_df[meta_key] = meta
-            while len(per_df) > _META_CACHE_PER_DF:
-                per_df.popitem(last=False)
-        else:
-            per_df.move_to_end(meta_key)
+            with _CACHE_LOCK:
+                per_df[meta_key] = meta
+                while len(per_df) > _META_CACHE_PER_DF:
+                    per_df.popitem(last=False)
         buckets_sorted = sorted({int(r["bucket"]) for r in meta})
         bk_pos = {bk: i for i, bk in enumerate(buckets_sorted)}
         n_b = len(buckets_sorted)
