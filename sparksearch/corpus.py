@@ -243,6 +243,22 @@ def length_ordered_documents(corpus: DataFrame) -> DataFrame:
     return out.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
 
 
+def reorder_documents(documents: DataFrame) -> DataFrame:
+    """Re-assign dense docIDs of an EXISTING canonical documents table in
+    ascending content-length order — the in-build form of document
+    reordering (folds the reorder into the index build instead of running
+    it as a separate derivation pass).  Identical id assignment to
+    :func:`length_ordered_documents` (lpad(doc_len) key, (repo, path)
+    tie-break), but reuses the already-computed ``doc_len`` /
+    ``content_sha256`` / ``commit`` columns, so the only work is
+    :func:`assign_dense_ids`' linear passes."""
+    keyed = documents.drop("doc_id").withColumn(
+        "__len_key", F.lpad(F.col("doc_len").cast("string"), 10, "0")
+    )
+    out = assign_dense_ids(keyed, ["__len_key", "repo", "path"])
+    return out.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
+
+
 def documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: driver's documents.parquet -> canonical schema.
 

@@ -1083,6 +1083,102 @@ def _frontier_oracle() -> str:
 _register("crawl_frontier", _frontier, _frontier_oracle)
 
 
+# 25c. streaming incremental index (SURVEY §2.8 Spark-first extension;
+#      streaming.py) — the corpus arrives as 3 parquet files drained by a
+#      real Structured Streaming query (availableNow, maxFilesPerTrigger=1
+#      -> one micro-batch per file, file mtimes fixed so the
+#      FileStreamSource's oldest-first order is deterministic).  The oracle
+#      is a sequential twin of the ingest policy (bucket-aligned per-batch
+#      doc-id offsets, first-batch-pinned avg_doc_len) + exhaustive BM25
+#      over the union (fixture_oracles.streaming_fixture_sql).  Checks the
+#      doc-id offset/alignment policy, exactly-once batch accounting
+#      (n_batches from the stream state), the pinned-avgdl scoring
+#      contract, AND rank/score parity of WAND over the streamed blocks.
+STREAM_BATCHES = 3
+STREAM_BUCKET_SPAN = 64
+
+
+def _streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming import _load_state, read_index, run_incremental_index
+    from .wand import wand_topk
+
+    _fixture_sf_guard(sf_dir)
+    root = tempfile.mkdtemp(prefix="sparksearch_stream_entry_")
+    try:
+        input_dir = os.path.join(root, "input")
+        index_dir = os.path.join(root, "index")
+        os.makedirs(input_dir)
+        corpus = _docs(spark, sf_dir)
+        for b in range(STREAM_BATCHES):
+            stage = os.path.join(root, f"stage_{b}")
+            (
+                corpus.filter(F.col("doc_id") % STREAM_BATCHES == b)
+                .select("repo", "path", "commit", "lang", "content")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            dst = os.path.join(input_dir, f"batch_{b}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            # strictly increasing, well-separated mtimes: the source drains
+            # oldest-first, so batch order (hence doc-id offsets) is pinned
+            ts = time.time() - 600 + b * 60
+            os.utime(dst, (ts, ts))
+            shutil.rmtree(stage, ignore_errors=True)
+        run_incremental_index(
+            spark,
+            input_dir,
+            index_dir,
+            bucket_span=STREAM_BUCKET_SPAN,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        docs, blocks, lex, st = read_index(spark, index_dir)
+        n_batches = len(_load_state(index_dir)["batches"])
+        qt = query_terms_df(spark, QUERY_SET)
+        raw = wand_topk(
+            blocks, lex.select("term", "df"), qt, st["n_docs"], st["avg_doc_len"],
+            k=TOP_K + 30,
+        )
+        m = raw.select("query_id", "doc_id", micro(F.col("score")).alias("score_micro"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        res = (
+            m.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .join(F.broadcast(docs.select("doc_id", "path")), "doc_id")
+            .select(
+                "query_id",
+                "rank",
+                "doc_id",
+                "path",
+                "score_micro",
+                F.lit(st["n_docs"]).cast("long").alias("n_docs"),
+                F.lit(n_batches).cast("int").alias("n_batches"),
+            )
+        )
+        # materialize BEFORE the temp index dir is removed — the returned
+        # DataFrame must stay collectable after this function exits
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _streaming_oracle() -> str:
+    from .fixture_oracles import streaming_fixture_sql
+
+    return streaming_fixture_sql(QUERY_SET, TOP_K, STREAM_BATCHES, STREAM_BUCKET_SPAN)
+
+
+_register("streaming_incremental", _streaming_incremental, _streaming_oracle)
+
+
 # 26. evaluation-metric aggregation (SURVEY §2.4 A7;
 #     hw3/metrix/genExpResult.py:1-38): per-algorithm means of
 #     precision/recall ignoring -1 sentinels.  The eval rows are derived

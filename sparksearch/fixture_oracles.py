@@ -137,6 +137,78 @@ def frontier_fixture_sql(
     return values_sql(rows, [("url", "VARCHAR"), ("site", "VARCHAR"), ("round", "INT")])
 
 
+def streaming_fixture_sql(
+    qset: list[tuple[int, str, str]], k: int, n_batches: int, bucket_span: int
+) -> str:
+    """Expected (query_id, rank, doc_id, path, score_micro, n_docs, n_batches)
+    for the ``streaming_incremental`` entry: a sequential twin of the
+    micro-batch ingest (streaming.ingest_batch's doc-id policy — per-batch
+    dense ids in (repo, path) order at an offset rounded UP to the next
+    ``bucket_span`` multiple, ``avg_doc_len`` PINNED to the first batch's
+    mean, hw3/config.h:60 analog) followed by exhaustive BM25 over the
+    union of all batches.  Batch b = docs with original doc_id % n_batches
+    == b, ingested in ascending b (the entry fixes file mtimes so the
+    FileStreamSource drains them in exactly this order)."""
+    import pyarrow.parquet as pq
+
+    from .oracle.engine import build_index
+    from .oracle.engine import topk as oracle_topk
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR(), "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    recs = list(
+        zip(
+            (int(x) for x in t.column("doc_id").to_pylist()),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    # adapter shape (corpus.documents_from_testdata): repo=source,
+    # path=source/doc_id
+    batches: list[list[tuple[str, str, str]]] = [[] for _ in range(n_batches)]
+    for did, text, src in recs:
+        batches[did % n_batches].append((src, f"{src}/{did}", text))
+    next_id = 0
+    docs: list[tuple[int, str]] = []
+    path_by: dict[int, str] = {}
+    pinned: float | None = None
+    for b in batches:
+        b.sort(key=lambda r: (r[0], r[1]))
+        offset = -(-next_id // bucket_span) * bucket_span
+        for i, (_repo, path, text) in enumerate(b):
+            docs.append((offset + i, text))
+            path_by[offset + i] = path
+        next_id = offset + len(b)
+        if pinned is None and b:
+            # exact: doc lengths are ints, their sum is exact in double, so
+            # this equals Spark's F.avg over any partitioning
+            pinned = sum(len(text) for _r, _p, text in b) / len(b)
+    idx = build_index(docs)
+    idx.avg_doc_len = float(pinned or 1.0)
+    rows = []
+    for qid, qtext, mode in qset:
+        ranked = oracle_topk(idx, qtext, mode, k=max(idx.n_docs, 1))
+        micro_ranked = sorted(
+            ((d, _micro_half_away(s)) for d, s in ranked), key=lambda x: (-x[1], x[0])
+        )[:k]
+        for rank, (doc_id, sm) in enumerate(micro_ranked, 1):
+            rows.append((qid, rank, doc_id, path_by[doc_id], sm, idx.n_docs, n_batches))
+    return values_sql(
+        rows,
+        [
+            ("query_id", "INT"),
+            ("rank", "INT"),
+            ("doc_id", "BIGINT"),
+            ("path", "VARCHAR"),
+            ("score_micro", "BIGINT"),
+            ("n_docs", "BIGINT"),
+            ("n_batches", "INT"),
+        ],
+    )
+
+
 def index_stats_fixture_sql() -> str:
     """Expected (n_blocks, payload_bytes, n_postings, n_terms) from a
     single-process term-at-a-time pass over the oracle postings (block

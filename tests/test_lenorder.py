@@ -110,3 +110,18 @@ def test_meta_cache_lru_bounded(spark):
     assert (terms[-1],) in _META_CACHE[blocks]
     docs.unpersist()
     blocks.unpersist()
+
+
+def test_reorder_documents_equals_length_ordered(spark):
+    """corpus.reorder_documents (the in-build fold — re-ids an existing
+    canonical table, reusing doc_len/sha256) must assign EXACTLY the ids
+    length_ordered_documents assigns when deriving from the raw corpus."""
+    from sparksearch.corpus import documents_from_corpus, reorder_documents
+
+    corpus = synthetic_corpus(spark, 300, seed=23)
+    via_derive = length_ordered_documents(corpus)
+    canonical = documents_from_corpus(corpus)  # (repo,path)-ordered ids
+    via_reorder = reorder_documents(canonical)
+    a = sorted(map(tuple, via_derive.collect()))
+    b = sorted(map(tuple, via_reorder.collect()))
+    assert a == b
